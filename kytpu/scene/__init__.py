@@ -1,0 +1,2 @@
+from kytpu.scene.scene import Scene, Hit, intersect, occluded  # noqa: F401
+from kytpu.scene import builders, shapes  # noqa: F401
