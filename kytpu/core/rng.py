@@ -40,10 +40,26 @@ def split_channels(keys: jax.Array, n: int):
     return tuple(ks[:, i] for i in range(n))
 
 
-def uniform(keys: jax.Array, shape_suffix=()) -> jax.Array:
-    """U[0,1) draw per key; result shape = keys.shape + shape_suffix."""
+def uniform(keys: jax.Array, shape_suffix=(), sampler: str = "random") -> jax.Array:
+    """U[0,1) draw per key; result shape = keys.shape + shape_suffix.
+
+    sampler="debug" reproduces the reference's debug_sampler_t
+    (ky.cpp:922-947): every draw is the constant 0.5, making any single
+    path fully deterministic — the cheapest bisection oracle.
+    """
+    if sampler == "debug":
+        return jnp.full(keys.shape + shape_suffix, 0.5, jnp.float32)
     return jax.vmap(lambda k: jax.random.uniform(k, shape_suffix))(keys)
 
 
-def uniform2(keys: jax.Array) -> jax.Array:
-    return uniform(keys, (2,))
+def uniform2(keys: jax.Array, sampler: str = "random") -> jax.Array:
+    return uniform(keys, (2,), sampler)
+
+
+def stratum_grid(spp: int) -> tuple[int, int]:
+    """Largest near-square (a, b) with a*b <= spp: the camera stratification
+    grid (completes the reference's stratified_sampler_t stub, ky.cpp:978)."""
+    a = int(spp ** 0.5)
+    while a > 1 and spp % a:
+        a -= 1
+    return a, spp // a

@@ -1,0 +1,138 @@
+"""Inverse rendering: differentiable render, loss, and optimization steps.
+
+The estimator uses detached sampling (every sampled direction, pdf, lobe and
+RR decision is stop_gradient-ed in kytpu.integrator.path / light.nee), so
+the gradient of the Monte Carlo estimate w.r.t. material colors, emission
+and light radiance is itself an unbiased estimate of the gradient of the
+true radiance — the standard differentiable-path-tracing construction.
+
+`make_train_step` returns one fully-jitted optimization step. With a mesh it
+becomes the pod-sharded training step: pixels sharded over "tile", samples
+over "spp", scene parameters replicated; the shard_map transpose emits the
+psum over parameter gradients, and the loss is computed on tile-local film
+strips so the film never crosses the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kytpu.diff import losses as klosses
+from kytpu.diff.params import get_params, set_params
+from kytpu.integrator import path as kpath
+from kytpu.integrator.render import trace_lanes
+
+
+def _lane_ids(w: int, h: int, spp: int):
+    npix = w * h
+    pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp)
+    sid = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), npix)
+    px = (pid % w).astype(jnp.float32)
+    py = (pid // w).astype(jnp.float32)
+    return px, py, pid, sid
+
+
+def render_once(scene, key, spp: int, cfg: kpath.PathConfig):
+    """Single-pass traced render -> (H, W, 3), unclamped (differentiable)."""
+    w, h = scene.camera.width, scene.camera.height
+    px, py, pid, sid = _lane_ids(w, h, spp)
+    out = trace_lanes(scene, key, px, py, pid, sid, cfg, "path", None)
+    return out.reshape(spp, h, w, 3).mean(axis=0)
+
+
+def render_loss(params, scene, target, key, spp: int,
+                cfg: kpath.PathConfig, loss_fn=klosses.relmse):
+    img = render_once(set_params(scene, params), key, spp, cfg)
+    return loss_fn(img, target)
+
+
+def _sharded_loss(params, scene, target_flat, key, px, py, pid, sid,
+                  spp, cfg, loss_fn, mesh):
+    """Loss over tile-local film strips; scalar is psum-reduced implicitly
+    by the replicated out_spec (mean of per-tile means over equal strips)."""
+
+    def body(params, scene, target_flat, key, px, py, pid, sid):
+        sc = set_params(scene, params)
+        s_loc, p_loc = sid.shape[0], pid.shape[0]
+        out = trace_lanes(sc, key,
+                          jnp.tile(px, s_loc), jnp.tile(py, s_loc),
+                          jnp.tile(pid, s_loc), jnp.repeat(sid, p_loc),
+                          cfg, "path", None)
+        partial = out.reshape(s_loc, p_loc, 3).sum(axis=0)
+        img = jax.lax.psum(partial, "spp") / float(spp)
+        loss_tile = loss_fn(img, target_flat)
+        return jax.lax.pmean(loss_tile, "tile")
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("tile"), P(), P("tile"), P("tile"),
+                  P("tile"), P("spp")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, scene, target_flat, key, px, py, pid, sid)
+
+
+def make_train_step(scene, target, spp: int = 4,
+                    cfg: kpath.PathConfig | None = None,
+                    optimizer=None, loss_fn=klosses.relmse, mesh=None):
+    """Build (step, params0, opt_state0).
+
+    step(params, opt_state, key) -> (params, opt_state, loss); jitted.
+    With `mesh`, the whole step runs SPMD over ("tile", "spp").
+    """
+    cfg = cfg or kpath.PathConfig(max_depth=3)
+    optimizer = optimizer or optax.adam(2e-2)
+    params0 = get_params(scene)
+    opt_state0 = optimizer.init(params0)
+    w, h = scene.camera.width, scene.camera.height
+
+    if mesh is None:
+        def loss_of(params, key):
+            return render_loss(params, scene, target, key, spp, cfg, loss_fn)
+    else:
+        n_tile = mesh.shape["tile"]
+        n_spp = mesh.shape["spp"]
+        if (w * h) % n_tile or spp % n_spp:
+            raise ValueError(
+                f"pixels {w*h} / spp {spp} not divisible by mesh {mesh.shape}")
+        px, py, pid, sid = _lane_ids(w, h, 1)
+        sid = jnp.arange(spp, dtype=jnp.int32)
+        tile_sh = NamedSharding(mesh, P("tile"))
+        px = jax.device_put(px, tile_sh)
+        py = jax.device_put(py, tile_sh)
+        pid = jax.device_put(pid, tile_sh)
+        sid = jax.device_put(sid, NamedSharding(mesh, P("spp")))
+        target_flat = jax.device_put(
+            jnp.asarray(target, jnp.float32).reshape(-1, 3), tile_sh)
+
+        def loss_of(params, key):
+            return _sharded_loss(params, scene, target_flat, key,
+                                 px, py, pid, sid, spp, cfg, loss_fn, mesh)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_of)(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda p: jnp.clip(p, 0.0, None), params)
+        return params, opt_state, loss
+
+    return step, params0, opt_state0
+
+
+def recover(scene, target, n_steps: int = 100, seed: int = 0, **kw):
+    """Run an inverse-rendering loop; returns (recovered_scene, losses)."""
+    step, params, opt_state = make_train_step(scene, target, **kw)
+    key = jax.random.key(seed)
+    hist = []
+    for i in range(n_steps):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i))
+        hist.append(float(loss))
+    return set_params(scene, params), hist

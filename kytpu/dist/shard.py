@@ -1,0 +1,123 @@
+"""Sharded wavefront rendering over a ("tile", "spp") mesh.
+
+Replaces the reference's OpenMP row loop (ky.cpp:3696-3701) with an SPMD
+shard_map: every device owns a strip of flat pixels ("tile" axis) and a
+slice of the per-pixel sample budget ("spp" axis). The body renders its
+(samples x pixels) block with the same lane function as the single-device
+path (kytpu.integrator.render.trace_lanes) — per-lane RNG keys depend only
+on (seed, sample_id, pixel_id), so the sharded render is bitwise identical
+to the unsharded one for any mesh shape.
+
+Collective structure (the whole communication story):
+  - one `psum` of the per-pixel partial sums over the "spp" axis per pass;
+  - film tiles never move: the output is laid out sharded over "tile"
+    and only re-assembled by the host when the caller converts to numpy.
+Gradients: shard_map transposes the replicated scene input into a psum of
+per-device cotangents — exactly the "psum for parameter grads" design
+(SURVEY.md §2.3) — with zero extra code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kytpu.integrator import path as kpath
+from kytpu.integrator.render import trace_lanes
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _shard_body(scene, key, px, py, pid, sid, *, cfg, mode, aov):
+    """Per-device block: px/py/pid are the local pixel strip (Ploc,),
+    sid the local sample slice (Sloc,). Returns (Ploc, 3) partial sums
+    reduced over the full sample axis."""
+    s_loc = sid.shape[0]
+    p_loc = pid.shape[0]
+    lane_px = jnp.tile(px, s_loc)
+    lane_py = jnp.tile(py, s_loc)
+    lane_pid = jnp.tile(pid, s_loc)
+    lane_sid = jnp.repeat(sid, p_loc)
+    out = trace_lanes(scene, key, lane_px, lane_py, lane_pid, lane_sid,
+                      cfg, mode, aov)
+    partial = out.reshape(s_loc, p_loc, 3).sum(axis=0)
+    return jax.lax.psum(partial, "spp")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "cfg", "mode", "aov"))
+def _render_chunk(scene, key, px, py, pid, sid, mesh, cfg, mode, aov):
+    body = functools.partial(_shard_body, cfg=cfg, mode=mode, aov=aov)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("tile"), P("tile"), P("tile"), P("spp")),
+        out_specs=P("tile", None),
+        check_vma=False,
+    )
+    return fn(scene, key, px, py, pid, sid)
+
+
+def render_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
+                   cfg: kpath.PathConfig | None = None, mode: str = "path",
+                   aov: str | None = None, clamp: bool = True,
+                   samples_per_chunk: int | None = None):
+    """Render a full frame on a ("tile", "spp") mesh; returns (H, W, 3).
+
+    `samples_per_chunk` bounds lanes-in-flight per device (HBM control for
+    large spp); it must be a multiple of the "spp" axis size. The result is
+    identical to kytpu.integrator.render.render at the same seed.
+    """
+    cfg = cfg or kpath.PathConfig()
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    npix = w * h
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if spp % n_spp:
+        raise ValueError(f"spp={spp} not divisible by spp-axis size {n_spp}")
+
+    npad = _pad_to(npix, n_tile)
+    ys, xs = np.divmod(np.arange(npad, dtype=np.int64) % npix, w)
+    px = jnp.asarray(xs.astype(np.float32))
+    py = jnp.asarray(ys.astype(np.float32))
+    # padding lanes re-render pixel 0..pad-1; their output is sliced away
+    pid = jnp.asarray((np.arange(npad, dtype=np.int64) % npix).astype(np.int32))
+
+    tile_sh = NamedSharding(mesh, P("tile"))
+    spp_sh = NamedSharding(mesh, P("spp"))
+    px = jax.device_put(px, tile_sh)
+    py = jax.device_put(py, tile_sh)
+    pid = jax.device_put(pid, tile_sh)
+
+    key = jax.random.key(seed)
+    k = samples_per_chunk or spp
+    k = max(n_spp, (k // n_spp) * n_spp)
+
+    accum = jnp.zeros((npad, 3), jnp.float32)
+    s0 = 0
+    while s0 < spp:
+        kk = min(k, spp - s0)
+        sid = jax.device_put(
+            jnp.arange(s0, s0 + kk, dtype=jnp.int32), spp_sh)
+        accum = accum + _render_chunk(scene, key, px, py, pid, sid,
+                                      mesh, cfg, mode, aov)
+        s0 += kk
+
+    img = (accum[:npix] / float(spp)).reshape(h, w, 3)
+    if clamp:
+        img = jnp.clip(img, 0.0, 1.0)
+    return img
+
+
+def render_tiles(scene, mesh: Mesh, **kw):
+    """Like render_sharded but returns the flat (npix_padded, 3) array still
+    laid out sharded over "tile" — for pipelines that keep tiles device-local
+    (checkpointing partial films, per-host encoding)."""
+    img = render_sharded(scene, mesh, clamp=False, **kw)
+    return img.reshape(-1, 3)

@@ -63,6 +63,8 @@ class PathConfig:
     light_selection: str = "all"        # "all" | "single"
     rr_start: int = 3                   # roulette kicks in after this bounce
     unroll: int = 1                     # scan unroll factor (perf knob)
+    sampler: str = "random"             # "random" | "stratified" | "debug"
+    strata: tuple = (1, 1)              # camera strata grid for "stratified"
 
 
 def _black(f):
@@ -75,9 +77,9 @@ def _gather_material(scene: kscene.Scene, sid):
             scene.mat_eta[sid], scene.mat_d_prob[sid], scene.mat_s_prob[sid])
 
 
-def _resolve(scene, hit, k_lobe):
+def _resolve(scene, hit, k_lobe, sampler="random"):
     mk, dif, spec, expo, eta, dp, sp = _gather_material(scene, hit.sid)
-    u_lobe = _sg(krng.uniform(k_lobe))
+    u_lobe = _sg(krng.uniform(k_lobe, sampler=sampler))
     return kbsdf.resolve_bsdf(mk, dif, spec, expo, eta, dp, sp, u_lobe)
 
 
@@ -113,20 +115,20 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
 
         bkeys = krng.bounce_key(keys, bounce)
         k_lobe, k_nee, k_bsdf, k_rr, k_peek = krng.split_channels(bkeys, 5)
-        params = _resolve(scene, hit, k_lobe)
+        params = _resolve(scene, hit, k_lobe, cfg.sampler)
         delta = kbsdf.is_delta(params)
 
         if use_nee:
             ld = knee.sample_all_lights(
                 scene, hit, params, k_nee, cont & ~delta,
-                cfg.strategy, cfg.light_selection)
+                cfg.strategy, cfg.light_selection, cfg.sampler)
             big_l = big_l + beta * ld
 
         if spec_peek:
             # path_tracing_recursion_t's specular branch (ky.cpp:4339-4350):
             # an independent BSDF draw whose next-hit emission is collected.
             pk = kbsdf.sample_world(params, hit.normal, hit.wo,
-                                    _sg(krng.uniform2(k_peek)))
+                                    _sg(krng.uniform2(k_peek, cfg.sampler)))
             wi_pk = _sg(pk.wi)
             # reference spawns WITHOUT origin offset here (ky.cpp:4343)
             h_pk = kscene.intersect(scene, hit.position, wi_pk)
@@ -139,13 +141,13 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
 
         # extension ray
         bs = kbsdf.sample_world(params, hit.normal, hit.wo,
-                                _sg(krng.uniform2(k_bsdf)))
+                                _sg(krng.uniform2(k_bsdf, cfg.sampler)))
         wi = _sg(bs.wi)
         pdf = _sg(bs.pdf)
         ok = cont & ~_black(bs.f) & (pdf != 0.0)
 
         throughput = bs.f * km.safe_div(km.absdot(wi, hit.normal), pdf)[:, None]
-        u_rr = _sg(krng.uniform(k_rr))
+        u_rr = _sg(krng.uniform(k_rr, sampler=cfg.sampler))
 
         if rr_beta_q:
             # q = max(.05, 1 - beta_max) AFTER the throughput update
@@ -192,10 +194,11 @@ def li_direct_lighting(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
     hit = kscene.intersect(scene, o, d)
     lo = jnp.where(hit.valid[:, None], hit.emission, scene.env_radiance(n))
     k_lobe, k_nee = krng.split_channels(keys, 2)
-    params = _resolve(scene, hit, k_lobe)
+    params = _resolve(scene, hit, k_lobe, cfg.sampler)
     active = hit.valid & ~kbsdf.is_delta(params)
     ld = knee.sample_all_lights(scene, hit, params, k_nee, active,
-                                cfg.strategy, cfg.light_selection)
+                                cfg.strategy, cfg.light_selection,
+                                cfg.sampler)
     return lo + ld
 
 

@@ -21,14 +21,25 @@ from kytpu.integrator import path as kpath
 from kytpu.scene import scene as kscene
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "aov"))
-def _render_pass(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
-    """One wavefront pass: (n,) lanes of (pixel, sample) pairs -> (n,3)."""
+def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
+    """One wavefront pass: (n,) lanes of (pixel, sample) pairs -> (n,3).
+
+    Pure and shardable: each lane's RNG stream is a function of
+    (root key, sample_id, pixel_id) only, so any partition of the lanes
+    across passes or devices produces bitwise-identical radiance.
+    """
     keys = jax.vmap(
         lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
     )(sample_ids, pixel_ids)
     k_cam, k_path = krng.split_channels(keys, 2)
-    u = krng.uniform2(k_cam)
+    u = krng.uniform2(k_cam, cfg.sampler)
+    if cfg.sampler == "stratified":
+        # jittered camera strata over the sample index (completes the
+        # reference's stratified_sampler_t stub, ky.cpp:978-985)
+        a, b = cfg.strata
+        s = sample_ids % (a * b)
+        u = jnp.stack([((s % a).astype(jnp.float32) + u[:, 0]) / a,
+                       ((s // a).astype(jnp.float32) + u[:, 1]) / b], axis=-1)
     p_film = jnp.stack([px + u[:, 0], py + u[:, 1]], axis=-1)
     o, d = kscene.generate_rays(scene.camera, p_film)
 
@@ -37,6 +48,9 @@ def _render_pass(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
     if mode == "direct":
         return kpath.li_direct_lighting(scene, o, d, k_path, cfg)
     return kpath.li_path(scene, o, d, k_path, cfg)
+
+
+_render_pass = jax.jit(trace_lanes, static_argnames=("cfg", "mode", "aov"))
 
 
 def _render_mean(scene, spp, seed, cfg, mode, aov, rays_per_pass):
@@ -85,6 +99,9 @@ def render(scene, spp: int = 16, seed: int = 1234,
     (ky.cpp:3726); disable for HDR output or differentiable use.
     """
     cfg = cfg or kpath.PathConfig()
+    if cfg.sampler == "stratified" and cfg.strata == (1, 1):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, strata=krng.stratum_grid(spp))
     img = _render_mean(scene, spp, seed, cfg, mode, aov, rays_per_pass)
     if clamp:
         img = jnp.clip(img, 0.0, 1.0)
@@ -93,3 +110,52 @@ def render(scene, spp: int = 16, seed: int = 1234,
 
 def render_aov(scene, which: str, spp: int = 10, seed: int = 1234, **kw):
     return render(scene, spp=spp, seed=seed, mode="aov", aov=which, **kw)
+
+
+def render_region(scene, x0: int, y0: int, x1: int, y1: int, spp: int = 16,
+                  seed: int = 1234, cfg: kpath.PathConfig | None = None,
+                  mode: str = "path", aov: str | None = None,
+                  clamp: bool = True):
+    """Re-render just the [x0,x1) x [y0,y1) film rectangle -> (y1-y0, x1-x0, 3).
+
+    The pixel-bisection harness (integrator_t::debug_area, ky.cpp:3733-3771).
+    Pixel ids match the full-frame render, so a region lane reproduces its
+    full-frame radiance bitwise at the same seed.
+    """
+    cfg = cfg or kpath.PathConfig()
+    w = scene.camera.width
+    rw, rh = x1 - x0, y1 - y0
+    xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+    pid = (ys * w + xs).reshape(-1).astype(np.int32)
+    px = xs.reshape(-1).astype(np.float32)
+    py = ys.reshape(-1).astype(np.float32)
+    key = krng.root_key(seed)
+    accum = jnp.zeros((rw * rh, 3), jnp.float32)
+    for s in range(spp):
+        sid = np.full(pid.shape, s, np.int32)
+        accum = accum + _render_pass(
+            scene, key, jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pid), jnp.asarray(sid), cfg, mode, aov)
+    img = (accum / float(spp)).reshape(rh, rw, 3)
+    if clamp:
+        img = jnp.clip(img, 0.0, 1.0)
+    return img
+
+
+def debug_area(scene, full_img, x0: int, y0: int, x1: int, y1: int, **kw):
+    """Composite a re-rendered region into full_img with a red border
+    (ky.cpp:3747-3762). Returns a numpy (H, W, 3) copy."""
+    out = np.array(full_img, np.float32, copy=True)
+    region = np.asarray(render_region(scene, x0, y0, x1, y1, **kw))
+    out[y0:y1, x0:x1] = region
+    red = np.array([1.0, 0.0, 0.0], np.float32)
+    out[y0, x0:x1] = red
+    out[y1 - 1, x0:x1] = red
+    out[y0:y1, x0] = red
+    out[y0:y1, x1 - 1] = red
+    return out
+
+
+def debug_pixel(scene, x: int, y: int, **kw):
+    """Single-pixel re-render (integrator_t::debug_pixel, ky.cpp:3773-3787)."""
+    return render_region(scene, x, y, x + 1, y + 1, **kw)[0, 0]

@@ -173,6 +173,11 @@ def sample_li(lights: Lights, i: int, world_radius, p, n_shade, u2) -> LightSamp
                               p, n_shade, u2)
 
     if kind == ENV:
+        # Replicated reference QUIRK (ky.cpp:3029-3035): the direction is
+        # uniform on the sphere (density 1/4pi) but the reported pdf is the
+        # angle-space density 1/(2 pi^2 sin theta). The mismatch biases the
+        # light-sampled env estimator exactly as the reference's does;
+        # kept for estimator-level parity (see tests/test_lights.py).
         wi = km.uniform_sphere_sample(u2)
         sin_theta = jnp.sin(km.spherical_theta(wi))
         pdf = jnp.where(sin_theta == 0.0, 0.0,

@@ -125,7 +125,7 @@ def _estimate_one_light(scene, i, hit, params, u_light, u_bsdf, active,
 
 
 def sample_all_lights(scene, hit, params, keys, active, strategy: str,
-                      light_selection: str = "all"):
+                      light_selection: str = "all", sampler: str = "random"):
     """Direct lighting at the hit wavefront. Returns (N,3).
 
     `active` must already mask out misses and (for skip-specular semantics)
@@ -137,11 +137,11 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
 
     if light_selection == "single":
         k_sel, k_draw = krng.split_channels(keys, 2)
-        u_sel = krng.uniform(k_sel)
+        u_sel = krng.uniform(k_sel, sampler=sampler)
         idx = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
         k_l, k_b = krng.split_channels(k_draw, 2)
-        u_light = krng.uniform2(k_l)
-        u_bsdf = krng.uniform2(k_b)
+        u_light = krng.uniform2(k_l, sampler)
+        u_bsdf = krng.uniform2(k_b, sampler)
         ld = jnp.zeros_like(hit.position)
         for i in range(n_lights):
             contrib = _estimate_one_light(
@@ -154,8 +154,8 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
     for i in range(n_lights):
         ki = krng.bounce_key(keys, 1000 + i)
         k_l, k_b = krng.split_channels(ki, 2)
-        u_light = krng.uniform2(k_l)
-        u_bsdf = krng.uniform2(k_b)
+        u_light = krng.uniform2(k_l, sampler)
+        u_bsdf = krng.uniform2(k_b, sampler)
         ld = ld + _estimate_one_light(
             scene, i, hit, params, u_light, u_bsdf, active, strategy)
     return ld

@@ -12,6 +12,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The environment's sitecustomize may have programmatically registered a
+# TPU-tunnel platform before JAX_PLATFORMS was read; override it so tests
+# always run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running golden/convergence tests")

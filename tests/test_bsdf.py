@@ -38,8 +38,10 @@ def test_lambert_furnace():
     p = _params(kbsdf.LAMBERT, albedo)
     wo = _wo()
     s = kbsdf.sample_local(p, wo, _u2(0))
-    est = np.asarray(s.f) * np.abs(np.asarray(s.wi[:, 2:3])) \
+    est = np.asarray(s.f, np.float64) * np.abs(np.asarray(s.wi[:, 2:3])) \
         / np.asarray(s.pdf)[:, None]
+    # f*cos/pdf is exactly albedo per-sample for Lambert; accumulate the
+    # mean in float64 (naive f32 summation over 1e5 lanes loses ~5e-4)
     assert np.allclose(est.mean(axis=0), albedo, rtol=1e-5)
 
 

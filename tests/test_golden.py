@@ -1,0 +1,66 @@
+"""Golden / cross-implementation convergence tests (SURVEY.md §4.1).
+
+The fundamental oracle: independent estimators of the same integral must
+converge to the same image. Here the kytpu wavefront renderer is checked
+against tests/oracle_pt.py — a from-scratch numpy path tracer with a
+different architecture (index compaction, python loops, Generator RNG) —
+on downsampled renders at matched spp, within Monte Carlo tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from kytpu.integrator.path import PathConfig
+from kytpu.integrator.render import render
+from kytpu.scene import builders
+
+from tests import oracle_pt
+
+
+def _downsample(img, f):
+    h, w, _ = img.shape
+    return np.asarray(img).reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3))
+
+
+def _compare(scene, spp, max_depth, strategy, factor=4, tol=0.02):
+    cfg = PathConfig(max_depth=max_depth, variant="iteration",
+                     strategy=strategy)
+    ours = np.asarray(render(scene, spp=spp, seed=3, cfg=cfg))
+    ref = oracle_pt.render_oracle(scene, spp=spp, seed=7,
+                                  max_depth=max_depth, strategy=strategy)
+    a = _downsample(ours, factor)
+    b = _downsample(ref, factor)
+    err = np.abs(a - b).mean()
+    assert err < tol, f"mean abs err {err:.4f} (tol {tol})"
+    return err
+
+
+@pytest.mark.slow
+def test_cornell_box_matches_oracle():
+    scene = builders.cornell_box(width=32, height=32)
+    _compare(scene, spp=96, max_depth=4, strategy="both_mis")
+
+
+@pytest.mark.slow
+def test_cornell_light_strategy_matches_oracle():
+    scene = builders.cornell_box(width=32, height=32)
+    _compare(scene, spp=96, max_depth=3, strategy="light")
+
+
+@pytest.mark.slow
+def test_cornell_mirror_sphere_matches_oracle():
+    flags = {builders.LARGE_MIRROR_SPHERE, builders.LIGHT_AREA}
+    scene = builders.cornell_box(flags, width=32, height=32)
+    _compare(scene, spp=96, max_depth=4, strategy="both_mis")
+
+
+@pytest.mark.slow
+def test_veach_matches_oracle():
+    scene = builders.veach_mis(width=48, height=29)
+    # Veach has high-variance sphere lights; compare at coarser tolerance
+    cfg = PathConfig(max_depth=3, variant="iteration", strategy="both_mis")
+    ours = np.asarray(render(scene, spp=64, seed=3, cfg=cfg))
+    ref = oracle_pt.render_oracle(scene, spp=64, seed=7, max_depth=3,
+                                  strategy="both_mis")
+    # compare means over the whole image (integral agreement)
+    assert abs(ours.mean() - ref.mean()) < 0.02
