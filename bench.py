@@ -23,14 +23,13 @@ TARGET_RAYS_PER_S = 50e6
 
 def main():
     from kytpu.scene import builders
-    from kytpu.integrator import path as kpath
+    from kytpu.integrator import fast as kfast
     from kytpu.integrator.render import trace_lanes
     from kytpu.diff.params import get_params, set_params
 
     w, h = 512, 308
     spp = 256
-    cfg = kpath.PathConfig(max_depth=5, variant="iteration",
-                           strategy="both_mis")
+    cfg = kfast.FastConfig(max_depth=5)
     scene = builders.veach_mis(width=w, height=h)
     key = jax.random.key(1234)
 
@@ -42,7 +41,7 @@ def main():
             sc = set_params(scene, p)
             px = (pid % w).astype(jnp.float32)
             py = (pid // w).astype(jnp.float32)
-            out = trace_lanes(sc, key, px, py, pid, sid, cfg, "path", None)
+            out = trace_lanes(sc, key, px, py, pid, sid, cfg, "fast", None)
             return jnp.sum(out) / lanes
         l, g = jax.value_and_grad(loss)(params)
         return l, g

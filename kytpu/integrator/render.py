@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kytpu.core import rng as krng
+from kytpu.integrator import fast as kfast
 from kytpu.integrator import path as kpath
 from kytpu.scene import scene as kscene
 
@@ -33,7 +34,7 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
     )(sample_ids, pixel_ids)
     k_cam, k_path = krng.split_channels(keys, 2)
     u = krng.uniform2(k_cam, cfg.sampler)
-    if cfg.sampler == "stratified":
+    if getattr(cfg, "strata", None) and cfg.sampler == "stratified":
         # jittered camera strata over the sample index (completes the
         # reference's stratified_sampler_t stub, ky.cpp:978-985)
         a, b = cfg.strata
@@ -47,6 +48,8 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
         return kpath.li_aov(scene, o, d, k_path, aov)
     if mode == "direct":
         return kpath.li_direct_lighting(scene, o, d, k_path, cfg)
+    if mode == "fast" or isinstance(cfg, kfast.FastConfig):
+        return kfast.li_path_fast(scene, o, d, k_path, cfg)
     return kpath.li_path(scene, o, d, k_path, cfg)
 
 

@@ -117,7 +117,12 @@ def _estimate_one_light(scene, i, hit, params, u_light, u_bsdf, active,
     if strategy == "light_mis":
         return _estimate_by_emitter(scene, i, hit, params, u_light, active, True)
     if strategy == "both_mis":
-        # the reference passes the SAME draws to both halves (ky.cpp:4081-4082)
+        # Replicated reference QUIRK: for delta lights Lb is identically 0
+        # (ky.cpp:3889-3892) yet the 0.5/0.5 combination still applies, so
+        # both_mis halves point/directional light contributions relative to
+        # the "light" strategy (ky.cpp:4076-4088). kytpu.integrator.fast
+        # corrects this in the production path.
+        # The reference passes the SAME draws to both halves (ky.cpp:4081-4082)
         lb = _estimate_by_bsdf(scene, i, hit, params, u_bsdf, active, True)
         ll = _estimate_by_emitter(scene, i, hit, params, u_light, active, True)
         return 0.5 * lb + 0.5 * ll
