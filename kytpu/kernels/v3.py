@@ -1,0 +1,110 @@
+"""Component-plane ("structure of planes") 3-vector algebra.
+
+Inside a Pallas TPU kernel a (N, 3) vector array would waste 125/128 of
+every vector register (the minor dimension must tile to 128). Instead each
+3-vector field is three separate (rows, 128) planes, and this module gives
+them vector-algebra semantics so kernel code reads like the jnp reference
+implementation (kytpu/core/math.py) it mirrors.
+
+Everything is plain jnp on whatever array shape the components have, so the
+same code runs inside pallas_call, in interpreter mode, and in unit tests
+on (N,)-shaped numpy arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class V3:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    # -- arithmetic (component-wise; scalar or plane operands) --
+    def __add__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return V3(self.x + o, self.y + o, self.z + o)
+
+    def __sub__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return V3(self.x - o, self.y - o, self.z - o)
+
+    def __mul__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x * o.x, self.y * o.y, self.z * o.z)
+        return V3(self.x * o, self.y * o, self.z * o)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return V3(-self.x, -self.y, -self.z)
+
+    def dot(self, o: "V3"):
+        return self.x * o.x + self.y * o.y + self.z * o.z
+
+    def cross(self, o: "V3") -> "V3":
+        return V3(self.y * o.z - self.z * o.y,
+                  self.z * o.x - self.x * o.z,
+                  self.x * o.y - self.y * o.x)
+
+    def length_squared(self):
+        return self.dot(self)
+
+    def length(self):
+        return jnp.sqrt(self.length_squared())
+
+    def normalize(self) -> "V3":
+        inv = jax.lax.rsqrt(jnp.maximum(self.length_squared(), 1e-20))
+        return self * inv
+
+    def max_component(self):
+        return jnp.maximum(self.x, jnp.maximum(self.y, self.z))
+
+    def where(self, cond, other: "V3") -> "V3":
+        """cond ? self : other (per lane)."""
+        return V3(jnp.where(cond, self.x, other.x),
+                  jnp.where(cond, self.y, other.y),
+                  jnp.where(cond, self.z, other.z))
+
+    def is_black(self):
+        return (self.x <= 0.0) & (self.y <= 0.0) & (self.z <= 0.0)
+
+
+def v3_full(like, x, y, z) -> V3:
+    """Broadcast three python/scalar constants to `like`'s plane shape."""
+    ones = jnp.ones_like(like)
+    return V3(ones * x, ones * y, ones * z)
+
+
+def v3_zeros(like) -> V3:
+    z = jnp.zeros_like(like)
+    return V3(z, z, z)
+
+
+def make_frame(n: V3) -> tuple[V3, V3, V3]:
+    """Orthonormal basis about unit n — SmallVCM/frame_t construction
+    (ky.cpp:566-571 via kytpu/core/frame.py)."""
+    use_y = jnp.abs(n.x) > 0.99
+    hx = jnp.where(use_y, 0.0, 1.0)
+    hy = jnp.where(use_y, 1.0, 0.0)
+    helper = V3(hx, hy, jnp.zeros_like(hx))
+    t = n.cross(helper)
+    t = t * (1.0 / jnp.sqrt(jnp.maximum(t.length_squared(), 1e-20)))
+    s = t.cross(n)
+    s = s * (1.0 / jnp.sqrt(jnp.maximum(s.length_squared(), 1e-20)))
+    return s, t, n
+
+
+def to_local(s: V3, t: V3, n: V3, w: V3) -> V3:
+    return V3(w.dot(s), w.dot(t), w.dot(n))
+
+
+def to_world(s: V3, t: V3, n: V3, w: V3) -> V3:
+    return s * w.x + t * w.y + n * w.z

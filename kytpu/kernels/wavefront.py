@@ -1,0 +1,931 @@
+"""Fused Pallas TPU wavefront path-tracing megakernel.
+
+The entire bounce loop of the production integrator
+(kytpu/integrator/fast.py) runs inside ONE pallas_call: ray state stays in
+VMEM as (R, 128) component planes for the whole path — zero HBM traffic
+between bounces — while XLA's op-by-op execution of the jnp formulation
+round-trips every intermediate through HBM.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  - lanes are (R, 128) planes; each 3-vector is three planes (kernels/v3.py)
+  - scene GEOMETRY is baked into the instruction stream as python-float
+    constants (one compiled kernel per scene geometry — the Embree/OptiX
+    "compiled scene" model); the static surface loop replaces both the
+    reference's virtual shape dispatch (ky.cpp:1009) and the jnp path's
+    (N, S) broadcast sweep
+  - MATERIAL/EMISSION color tables stream in as small SMEM arrays, so
+    renders stay parameterized for inverse rendering without recompiles
+  - per-surface record selection is a static masked-sum loop (no gathers)
+  - RNG is the on-core PRNG (pltpu.prng_*), seeded per (seed, tile); draw
+    order is fixed by the static program, so images are reproducible for a
+    given (seed, lane tiling)
+
+The estimator is the same single-sample-MIS transport as fast.py (emission
+MIS-weighted against the light pdf of the ray that found it; light-side NEE
+per light; iteration-rule Russian roulette), so the kernel converges to the
+same image; only the RNG stream differs. tests/test_kernel.py checks both
+against each other and the interpreter against the TPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kytpu import bsdf as kbsdf
+from kytpu.core import math as km
+from kytpu.kernels.v3 import V3, make_frame, to_local, to_world, v3_full, v3_zeros
+from kytpu.light import lights as klights
+from kytpu.scene import shapes as kshapes
+
+LANE = 128
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    max_depth: int = 5
+    rr_start: int = 3
+    rows: int = 64          # lanes per tile = rows * 128
+
+
+# ---------------------------------------------------------------------------
+# static scene extraction (host side; python floats -> baked constants)
+# ---------------------------------------------------------------------------
+
+
+def _f(x):
+    return [float(v) for v in np.asarray(x).reshape(-1)]
+
+
+def extract_static(scene):
+    g = scene.geometry
+    planar = []
+    for i in range(g.n_planar):
+        planar.append(dict(
+            kind=int(np.asarray(g.pl_kind[i])),
+            p0=_f(g.pl_p0[i]), p1=_f(g.pl_p1[i]), p2=_f(g.pl_p2[i]),
+            p3=_f(g.pl_p3[i]), n=_f(g.pl_normal[i]),
+            radius=float(np.asarray(g.pl_radius[i])),
+        ))
+    spheres = []
+    for i in range(g.n_sphere):
+        spheres.append(dict(c=_f(g.sp_center[i]),
+                            r=float(np.asarray(g.sp_radius[i]))))
+    mats = dict(
+        kind=[int(k) for k in np.asarray(scene.mat_kind)],
+        exponent=[float(v) for v in np.asarray(scene.mat_exponent)],
+        eta=[float(v) for v in np.asarray(scene.mat_eta)],
+        d_prob=[float(v) for v in np.asarray(scene.mat_d_prob)],
+        s_prob=[float(v) for v in np.asarray(scene.mat_s_prob)],
+        light_index=[int(v) for v in np.asarray(scene.light_index)],
+    )
+    li = scene.lights
+    lights = []
+    for i, kind in enumerate(li.kinds):
+        lights.append(dict(
+            kind=int(kind),
+            position=_f(li.position[i]), direction=_f(li.direction[i]),
+            p0=_f(li.p0[i]), p1=_f(li.p1[i]), p2=_f(li.p2[i]),
+            p3=_f(li.p3[i]), normal=_f(li.normal[i]),
+            area=float(np.asarray(li.area[i])),
+            center=_f(li.center[i]), radius=float(np.asarray(li.radius[i])),
+        ))
+    return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
+                world_radius=float(np.asarray(scene.world_radius)),
+                has_env=scene.has_env)
+
+
+def _cv3(v):  # constant V3 from a python float triple (broadcasts with planes)
+    return V3(np.float32(v[0]), np.float32(v[1]), np.float32(v[2]))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (all operate on (R, 128) planes)
+# ---------------------------------------------------------------------------
+
+
+def _bits_to_unit(bits):
+    # 24-bit mantissa trick; keep everything int32 (Mosaic has no
+    # uint32->f32 cast): a logical >>8 of the random word is a non-negative
+    # int32 in [0, 2^24)
+    return jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
+        jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return _bits_to_unit(bits)
+
+
+class _Rng:
+    """Per-kernel-instance uniform source.
+
+    hw=True uses the on-core PRNG (pltpu.prng_*). hw=False is a stateless
+    lowbias32-style integer hash of (seed, draw counter, lane id) — needed
+    because the Pallas TPU interpreter's prng_random_bits returns zeros;
+    also usable as a portable fallback.
+    """
+
+    def __init__(self, seed_scalar, hw: bool):
+        self.hw = hw
+        self.seed = seed_scalar
+        self.ctr = 0
+
+    def uniform(self, shape):
+        if self.hw:
+            return _uniform(shape)
+        self.ctr += 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 0) * np.int32(shape[-1]) \
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        x = self.seed + lane * np.int32(374761393) \
+            + np.int32(self.ctr) * np.int32(668265263)
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(17))
+        x = x * np.int32(-315667899)            # 0xed5ad4bb
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(11))
+        x = x * np.int32(-1404298415)           # 0xac4c1b51
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(15))
+        x = x * np.int32(830770091)             # 0x31848bab
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(14))
+        return _bits_to_unit(x)
+
+
+def _safe_div(num, den, fallback=0.0):
+    ok = den != 0.0
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), fallback)
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _closest_hit(static, o: V3, d: V3):
+    """Baked-geometry closest hit. Returns (t, sid, valid, normal)."""
+    shp = o.x.shape
+    t_best = jnp.full(shp, np.float32(np.inf))
+    sid = jnp.full(shp, np.int32(-1))
+    n_best = v3_zeros(o.x)
+
+    for row, s in enumerate(static["planar"]):
+        p0, p1 = _cv3(s["p0"]), _cv3(s["p1"])
+        p2, p3 = _cv3(s["p2"]), _cv3(s["p3"])
+        nrm = _cv3(s["n"])
+        oa = p0 - o
+        ob = p1 - o
+        oc = p2 - o
+        od = p3 - o
+        v0d = oc.cross(ob).dot(d)
+        v1d = ob.cross(oa).dot(d)
+        v2d = oa.cross(od).dot(d)
+        v3d = od.cross(oc).dot(d)
+        if s["kind"] == kshapes.TRI:
+            inside = ((v0d < 0) & (v1d < 0) & (v3d < 0)) | \
+                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+        else:
+            inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
+                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+        denom = nrm.dot(d)
+        t = _safe_div(nrm.dot(oa), denom, np.float32(np.inf))
+        if s["kind"] == kshapes.DISK:
+            hp = o + d * t
+            inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
+        accept = inside & (t > km.SHAPE_EPSILON) & (t < t_best)
+        n_row = nrm
+        if s["kind"] == kshapes.RECT:
+            flip = nrm.dot(d) > 0
+            n_row = V3(jnp.where(flip, -nrm.x, nrm.x),
+                       jnp.where(flip, -nrm.y, nrm.y),
+                       jnp.where(flip, -nrm.z, nrm.z))
+        else:
+            n_row = V3(jnp.broadcast_to(n_row.x, shp).astype(jnp.float32),
+                       jnp.broadcast_to(n_row.y, shp).astype(jnp.float32),
+                       jnp.broadcast_to(n_row.z, shp).astype(jnp.float32))
+        t_best = jnp.where(accept, t, t_best)
+        sid = jnp.where(accept, np.int32(row), sid)
+        n_best = n_row.where(accept, n_best)
+
+    base = len(static["planar"])
+    for j, s in enumerate(static["spheres"]):
+        c = _cv3(s["c"])
+        r = np.float32(s["r"])
+        oc = c - o
+        neg_b = oc.dot(d)
+        perp = oc - d * neg_b
+        discr = r * r - perp.length_squared()
+        sq = _safe_sqrt(discr)
+        cc = oc.length_squared() - r * r
+        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
+        q = neg_b + sgn * sq
+        tq = _safe_div(cc, q)
+        t1 = jnp.minimum(q, tq)
+        t2 = jnp.maximum(q, tq)
+        t1_ok = t1 > km.SHAPE_EPSILON
+        t2_ok = t2 > km.SHAPE_EPSILON
+        t = jnp.where(t1_ok, t1, t2)
+        accept = (discr >= 0) & (t1_ok | t2_ok) & (t < t_best)
+        hp = o + d * t
+        n_row = (hp - c) * (np.float32(1.0) / r)
+        t_best = jnp.where(accept, t, t_best)
+        sid = jnp.where(accept, np.int32(base + j), sid)
+        n_best = n_row.where(accept, n_best)
+
+    valid = sid >= 0
+    return t_best, sid, valid, n_best
+
+
+def _any_hit(static, o: V3, d: V3, tmax):
+    """Baked-geometry occlusion test in (SHAPE_EPSILON, tmax)."""
+    # mask born from a compare (not a bool literal tensor): Mosaic has no
+    # i8->i1 truncation for materialized bool vectors
+    hit = jnp.zeros_like(tmax) > 0.0
+    for s in static["planar"]:
+        p0, p1 = _cv3(s["p0"]), _cv3(s["p1"])
+        p2, p3 = _cv3(s["p2"]), _cv3(s["p3"])
+        nrm = _cv3(s["n"])
+        oa = p0 - o
+        ob = p1 - o
+        oc = p2 - o
+        od = p3 - o
+        v0d = oc.cross(ob).dot(d)
+        v1d = ob.cross(oa).dot(d)
+        v2d = oa.cross(od).dot(d)
+        v3d = od.cross(oc).dot(d)
+        if s["kind"] == kshapes.TRI:
+            inside = ((v0d < 0) & (v1d < 0) & (v3d < 0)) | \
+                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+        else:
+            inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
+                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+        t = _safe_div(nrm.dot(oa), nrm.dot(d), np.float32(np.inf))
+        if s["kind"] == kshapes.DISK:
+            hp = o + d * t
+            inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
+        hit = hit | (inside & (t > km.SHAPE_EPSILON) & (t < tmax))
+    for s in static["spheres"]:
+        c = _cv3(s["c"])
+        r = np.float32(s["r"])
+        oc = c - o
+        neg_b = oc.dot(d)
+        perp = oc - d * neg_b
+        discr = r * r - perp.length_squared()
+        sq = _safe_sqrt(discr)
+        cc = oc.length_squared() - r * r
+        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
+        q = neg_b + sgn * sq
+        tq = _safe_div(cc, q)
+        t1 = jnp.minimum(q, tq)
+        t2 = jnp.maximum(q, tq)
+        ok1 = (t1 > km.SHAPE_EPSILON) & (t1 < tmax)
+        ok2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
+        hit = hit | ((discr >= 0) & (ok1 | ok2))
+    return hit
+
+
+def _select_rows(sid, rows, values):
+    """Masked-sum selection: values[i] is a python float for surface rows[i]."""
+    out = jnp.zeros(sid.shape, jnp.float32)
+    for row, v in zip(rows, values):
+        if v != 0.0:
+            out = out + jnp.where(sid == row, np.float32(v), np.float32(0.0))
+    return out
+
+
+def _select_table3(sid, table_ref, m_rows):
+    """V3 gather-free select from an SMEM (M, 3) table by sid plane."""
+    x = jnp.zeros(sid.shape, jnp.float32)
+    y = jnp.zeros(sid.shape, jnp.float32)
+    z = jnp.zeros(sid.shape, jnp.float32)
+    for m in range(m_rows):
+        mask = sid == m
+        x = jnp.where(mask, table_ref[m, 0], x)
+        y = jnp.where(mask, table_ref[m, 1], y)
+        z = jnp.where(mask, table_ref[m, 2], z)
+    return V3(x, y, z)
+
+
+def _offset_origin(p: V3, n: V3, d: V3) -> V3:
+    s = jnp.where(n.dot(d) < 0.0, np.float32(-km.RAY_OFFSET),
+                  np.float32(km.RAY_OFFSET))
+    return p + n * s
+
+
+# -- BSDF (plane port of kytpu/bsdf/bsdf.py local-frame models) --------------
+
+
+def _fresnel_dielectric(ci, eta):
+    ci = jnp.clip(ci, -1.0, 1.0)
+    entering = ci > 0.0
+    ei = jnp.where(entering, np.float32(1.0), eta)
+    et = jnp.where(entering, eta, np.float32(1.0))
+    c = jnp.abs(ci)
+    si = _safe_sqrt(1.0 - c * c)
+    st = ei / et * si
+    tir = st >= 1.0
+    ct = _safe_sqrt(1.0 - jnp.minimum(st, 1.0) ** 2)
+    r_par = _safe_div(et * c - ei * ct, et * c + ei * ct)
+    r_per = _safe_div(ei * c - et * ct, ei * c + et * ct)
+    fr = 0.5 * (r_par * r_par + r_per * r_per)
+    return jnp.where(tir, np.float32(1.0), fr)
+
+
+def _concentric_disk(u1, u2):
+    x = 2.0 * u1 - 1.0
+    y = 2.0 * u2 - 1.0
+    xd = jnp.abs(x) > jnp.abs(y)
+    r = jnp.where(xd, x, y)
+    ratio = jnp.where(xd, _safe_div(y, x), _safe_div(x, y))
+    theta = jnp.where(xd, np.float32(km.PI_OVER_4) * ratio,
+                      np.float32(km.PI_OVER_2) - np.float32(km.PI_OVER_4) * ratio)
+    deg = (x == 0.0) & (y == 0.0)
+    px = jnp.where(deg, 0.0, r * jnp.cos(theta))
+    py = jnp.where(deg, 0.0, r * jnp.sin(theta))
+    return px, py
+
+
+def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2):
+    """Local-frame sample of all 4 models + select (bsdf.py:174-238).
+
+    Returns (f: V3, wi: V3, pdf, delta_mask).
+    """
+    mirror_wi = V3(-wo.x, -wo.y, wo.z)
+
+    # Lambert
+    px, py = _concentric_disk(u1, u2)
+    lz = _safe_sqrt(1.0 - px * px - py * py)
+    wi_lam = V3(px, py, jnp.where(wo.z < 0, -lz, lz))
+    same_lam = wo.z * wi_lam.z > 0
+    f_lam = color * (np.float32(km.INV_PI))
+    f_lam = f_lam.where(same_lam, v3_zeros(wo.x))
+    pdf_lam = jnp.where(same_lam, jnp.abs(wi_lam.z) * np.float32(km.INV_PI), 0.0)
+
+    # mirror
+    abs_cos_m = jnp.maximum(jnp.abs(mirror_wi.z), 1e-12)
+    f_mir = color * (1.0 / abs_cos_m)
+    pdf_mir = jnp.ones_like(u1)
+
+    # glass
+    fr = _fresnel_dielectric(wo.z, eta)
+    take_refl = u1 < fr
+    into = wo.z > 0
+    nz = jnp.where(into, np.float32(1.0), np.float32(-1.0))
+    n_loc = V3(jnp.zeros_like(nz), jnp.zeros_like(nz), nz)
+    eta_ratio = jnp.where(into, 1.0 / eta, eta)
+    cos_i = n_loc.dot(wo)
+    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = eta_ratio * eta_ratio * sin2_i
+    refr_ok = sin2_t < 1.0
+    cos_t = _safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
+    wt = (-wo) * eta_ratio + n_loc * (eta_ratio * cos_i - cos_t)
+    wi_gl = mirror_wi.where(take_refl, wt)
+    abs_cos_g = jnp.maximum(jnp.abs(wi_gl.z), 1e-12)
+    f_gl = (color * (fr / abs_cos_g)).where(
+        take_refl, (color2 * ((1.0 - fr) / abs_cos_g)).where(
+            refr_ok, v3_zeros(wo.x)))
+    pdf_gl = jnp.where(take_refl, fr, jnp.where(refr_ok, 1.0 - fr, 0.0))
+
+    # phong
+    phi = np.float32(km.TWO_PI) * u1
+    cos_t_p = jnp.power(u2, 1.0 / (exponent + 1.0))
+    sin_t_p = _safe_sqrt(1.0 - cos_t_p * cos_t_p)
+    lobe = V3(jnp.cos(phi) * sin_t_p, jnp.sin(phi) * sin_t_p, cos_t_p)
+    s_f, t_f, n_f = make_frame(mirror_wi)
+    wi_ph = to_world(s_f, t_f, n_f, lobe)
+    wi_ph = V3(wi_ph.x, wi_ph.y, jnp.where(wo.z < 0, -wi_ph.z, wi_ph.z))
+    cos_alpha = jnp.maximum(mirror_wi.dot(wi_ph), 0.0)
+    same_ph = wo.z * wi_ph.z > 0
+    ph_val = (exponent + 2.0) * np.float32(km.INV_2PI) \
+        * jnp.power(cos_alpha, exponent)
+    ph_val = jnp.where(same_ph, ph_val, 0.0)
+    f_ph = color * ph_val
+    pdf_ph = (exponent + 1.0) * jnp.power(cos_alpha, exponent) \
+        * np.float32(km.INV_2PI)
+
+    is_lam = kind == kbsdf.LAMBERT
+    is_mir = kind == kbsdf.MIRROR
+    is_gls = kind == kbsdf.GLASS
+    wi = wi_lam.where(is_lam, mirror_wi.where(is_mir, wi_gl.where(is_gls, wi_ph)))
+    f = f_lam.where(is_lam, f_mir.where(is_mir, f_gl.where(is_gls, f_ph)))
+    pdf = jnp.where(is_lam, pdf_lam,
+                    jnp.where(is_mir, pdf_mir,
+                              jnp.where(is_gls, pdf_gl, pdf_ph)))
+    delta = is_mir | is_gls
+    return f, wi, pdf, delta
+
+
+def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3):
+    """Local-frame eval + pdf for the non-delta lobes (bsdf.py:136-162)."""
+    same = wo.z * wi.z > 0
+    f_lam = color * np.float32(km.INV_PI)
+    f_lam = f_lam.where(same, v3_zeros(wo.x))
+    pdf_lam = jnp.where(same, jnp.abs(wi.z) * np.float32(km.INV_PI), 0.0)
+
+    wr = V3(-wo.x, -wo.y, wo.z)
+    cos_alpha = jnp.maximum(wr.dot(wi), 0.0)
+    ph = (exponent + 2.0) * np.float32(km.INV_2PI) * jnp.power(cos_alpha, exponent)
+    ph = jnp.where(same, ph, 0.0)
+    f_ph = color * ph
+    pdf_ph = (exponent + 1.0) * jnp.power(cos_alpha, exponent) \
+        * np.float32(km.INV_2PI)
+
+    is_lam = kind == kbsdf.LAMBERT
+    is_ph = kind == kbsdf.PHONG
+    f = f_lam.where(is_lam, f_ph.where(is_ph, v3_zeros(wo.x)))
+    pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_ph, pdf_ph, 0.0))
+    return f, pdf
+
+
+# -- lights (plane port of kytpu/light/lights.py) ----------------------------
+
+
+def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
+    """sample_Li for baked light lt. Returns (wi, pdf, li: V3, dist)."""
+    kind = lt["kind"]
+    if kind == klights.POINT:
+        lp = _cv3(lt["position"])
+        vec = lp - p
+        d2 = jnp.maximum(vec.length_squared(), 1e-20)
+        dist = jnp.sqrt(d2)
+        wi = vec * (1.0 / dist)
+        li = emit * (1.0 / d2)
+        return wi, jnp.ones_like(u1), li, dist
+
+    if kind == klights.DIRECTION:
+        dr = _cv3(lt["direction"])
+        wi = v3_full(u1, -dr.x, -dr.y, -dr.z)
+        dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
+        li = V3(jnp.full_like(u1, emit.x), jnp.full_like(u1, emit.y),
+                jnp.full_like(u1, emit.z))
+        return wi, jnp.ones_like(u1), li, dist
+
+    if kind == klights.AREA_RECT:
+        p0, p1, p2 = _cv3(lt["p0"]), _cv3(lt["p1"]), _cv3(lt["p2"])
+        n_l = _cv3(lt["normal"])
+        area = np.float32(lt["area"])
+        lp = p1 + (p0 - p1) * u1 + (p2 - p1) * u2
+        vec = lp - p
+        d2 = jnp.maximum(vec.length_squared(), 1e-20)
+        dist = jnp.sqrt(d2)
+        wi = vec * (1.0 / dist)
+        cos_l = n_l.dot(-wi)
+        pdf = _safe_div(d2, jnp.abs(cos_l) * area)
+        facing = cos_l > 0
+        li = V3(jnp.where(facing, emit.x, 0.0), jnp.where(facing, emit.y, 0.0),
+                jnp.where(facing, emit.z, 0.0))
+        pdf = jnp.where(facing & (pdf > 0) & jnp.isfinite(pdf), pdf, 0.0)
+        return wi, pdf, li, dist
+
+    if kind == klights.AREA_SPHERE:
+        c = _cv3(lt["center"])
+        r = np.float32(lt["radius"])
+        vec_c = c - p
+        d2c = jnp.maximum(vec_c.length_squared(), 1e-20)
+        inside = d2c <= r * r
+        dist_c = jnp.sqrt(d2c)
+        inv_dc = 1.0 / dist_c
+
+        # outside: cone sampling with Taylor fallback (ky.cpp:1419-1501)
+        sin2_max = jnp.minimum(r * r / d2c, 1.0)
+        sin_max = _safe_sqrt(sin2_max)
+        inv_sin_max = _safe_div(np.float32(1.0), sin_max, 1.0)
+        cos_max = _safe_sqrt(1.0 - sin2_max)
+        cos_t = (cos_max - 1.0) * u1 + 1.0
+        sin2 = 1.0 - cos_t * cos_t
+        tiny = sin2_max < np.float32(0.00068523)
+        sin2 = jnp.where(tiny, sin2_max * u1, sin2)
+        cos_t = jnp.where(tiny, _safe_sqrt(1.0 - sin2), cos_t)
+        cos_a = sin2 * inv_sin_max + cos_t * _safe_sqrt(
+            1.0 - sin2 * inv_sin_max * inv_sin_max)
+        sin_a = _safe_sqrt(1.0 - cos_a * cos_a)
+        phi = u2 * np.float32(km.TWO_PI)
+        to_c = vec_c * inv_dc
+        s_f, t_f, n_f = make_frame(to_c)
+        n_cone = (-s_f) * (sin_a * jnp.cos(phi)) \
+            + (-t_f) * (sin_a * jnp.sin(phi)) + (-n_f) * cos_a
+        lp_cone = c + n_cone * r
+        pdf_cone = _safe_div(np.float32(1.0),
+                             np.float32(km.TWO_PI) * (1.0 - cos_max))
+        pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+
+        # inside: uniform area sample (ky.cpp:1422-1443)
+        z_u = 1.0 - 2.0 * u1
+        r_u = _safe_sqrt(1.0 - z_u * z_u)
+        dir_u = V3(r_u * jnp.cos(phi), r_u * jnp.sin(phi), z_u)
+        lp_in = c + dir_u * r
+        vec_in = lp_in - p
+        d2_in = jnp.maximum(vec_in.length_squared(), 1e-20)
+        wi_in = vec_in * jax.lax.rsqrt(d2_in)
+        area = np.float32(4.0 * np.pi * r * r)
+        pdf_in = _safe_div(d2_in, area * jnp.abs(n_shade.dot(-wi_in)))
+        pdf_in = jnp.where(jnp.isfinite(pdf_in), pdf_in, 0.0)
+
+        lp = lp_in.where(inside, lp_cone)
+        n_l = dir_u.where(inside, n_cone)
+        pdf = jnp.where(inside, pdf_in, pdf_cone)
+        vec = lp - p
+        dist = jnp.sqrt(jnp.maximum(vec.length_squared(), 1e-20))
+        wi = vec * (1.0 / dist)
+        facing = n_l.dot(-wi) > 0
+        ok = facing & (pdf > 0)
+        li = V3(jnp.where(ok, emit.x, 0.0), jnp.where(ok, emit.y, 0.0),
+                jnp.where(ok, emit.z, 0.0))
+        return wi, pdf, li, dist
+
+    if kind == klights.ENV:
+        # replicated reference quirk: uniform-sphere direction, angle-space
+        # pdf (ky.cpp:3029-3035)
+        z_u = 1.0 - 2.0 * u1
+        r_u = _safe_sqrt(1.0 - z_u * z_u)
+        phi = np.float32(km.TWO_PI) * u2
+        wi = V3(r_u * jnp.cos(phi), r_u * jnp.sin(phi), z_u)
+        sin_theta = _safe_sqrt(1.0 - wi.z * wi.z)
+        pdf = jnp.where(sin_theta == 0.0, 0.0,
+                        np.float32(1.0 / (2.0 * np.pi * np.pi))
+                        / jnp.maximum(sin_theta, 1e-20))
+        dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
+        li = V3(jnp.full_like(u1, emit.x), jnp.full_like(u1, emit.y),
+                jnp.full_like(u1, emit.z))
+        return wi, pdf, li, dist
+
+    raise ValueError(f"unknown light kind {kind}")
+
+
+def _light_pdf(lt, p: V3, n_shade: V3, wi: V3):
+    """pdf_Li for baked light lt (lights.py:232-266)."""
+    kind = lt["kind"]
+    if kind in (klights.POINT, klights.DIRECTION):
+        return jnp.zeros_like(p.x)
+
+    if kind == klights.AREA_RECT:
+        p0, p1 = _cv3(lt["p0"]), _cv3(lt["p1"])
+        p2, p3 = _cv3(lt["p2"]), _cv3(lt["p3"])
+        n_l = _cv3(lt["normal"])
+        area = np.float32(lt["area"])
+        o = _offset_origin(p, n_shade, wi)
+        oa = p0 - o
+        ob = p1 - o
+        oc = p2 - o
+        od = p3 - o
+        v0d = oc.cross(ob).dot(wi)
+        v1d = ob.cross(oa).dot(wi)
+        v2d = oa.cross(od).dot(wi)
+        v3d = od.cross(oc).dot(wi)
+        inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
+                 ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+        t = _safe_div(n_l.dot(oa), n_l.dot(wi), np.float32(np.inf))
+        hit = inside & (t > km.SHAPE_EPSILON) & jnp.isfinite(t)
+        hp = o + wi * t
+        d2 = (hp - p).length_squared()
+        pdf = _safe_div(d2, jnp.abs(n_l.dot(-wi)) * area)
+        return jnp.where(hit & jnp.isfinite(pdf), pdf, 0.0)
+
+    if kind == klights.AREA_SPHERE:
+        c = _cv3(lt["center"])
+        r = np.float32(lt["radius"])
+        d2c = jnp.maximum((c - p).length_squared(), 1e-20)
+        inside = d2c <= r * r
+        sin2_max = jnp.minimum(r * r / d2c, 1.0)
+        cos_max = _safe_sqrt(1.0 - sin2_max)
+        pdf_cone = _safe_div(np.float32(1.0),
+                             np.float32(km.TWO_PI) * (1.0 - cos_max))
+        pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+        # inside: re-intersect pdf
+        o = _offset_origin(p, n_shade, wi)
+        oc = c - o
+        neg_b = oc.dot(wi)
+        discr = neg_b * neg_b - oc.length_squared() + r * r
+        sq = _safe_sqrt(discr)
+        t1, t2 = neg_b - sq, neg_b + sq
+        t1_ok = t1 > km.SHAPE_EPSILON
+        t2_ok = t2 > km.SHAPE_EPSILON
+        t = jnp.where(t1_ok, t1, t2)
+        hit = (discr >= 0) & (t1_ok | t2_ok)
+        hp = o + wi * t
+        n_hit = (hp - c).normalize()
+        area = np.float32(4.0 * np.pi * r * r)
+        pdf_in = _safe_div((hp - p).length_squared(),
+                           jnp.abs(n_hit.dot(-wi)) * area)
+        pdf_in = jnp.where(hit & jnp.isfinite(pdf_in), pdf_in, 0.0)
+        return jnp.where(inside, pdf_in, pdf_cone)
+
+    if kind == klights.ENV:
+        sin_theta = _safe_sqrt(1.0 - wi.z * wi.z)
+        return jnp.where(sin_theta == 0.0, 0.0,
+                         np.float32(1.0 / (2.0 * np.pi * np.pi))
+                         / jnp.maximum(sin_theta, 1e-20))
+
+    raise ValueError(f"unknown light kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
+    mats = static["mats"]
+    lights = static["lights"]
+    M = len(mats["kind"])
+    L = len(lights)
+    world_radius = static["world_radius"]
+    env_i = next((i for i, lt in enumerate(lights)
+                  if lt["kind"] == klights.ENV), None)
+
+    def kernel(seed_ref, diffuse_ref, specular_ref, emission_ref,
+               light_emit_ref, env_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               lx_ref, ly_ref, lz_ref):
+        pid = pl.program_id(0)
+        tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
+        if hw_rng:
+            pltpu.prng_seed(tile_seed)
+        rng = _Rng(tile_seed, hw_rng)
+
+        o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
+        d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
+        shp = o.x.shape
+        beta = v3_full(o.x, 1.0, 1.0, 1.0)
+        big_l = v3_zeros(o.x)
+        alive = jnp.zeros(shp, jnp.float32) < 1.0
+        prev_n = -d
+        # carried masks live as int32 planes: selecting between two bool
+        # vectors materializes i8 in Mosaic, which cannot truncate to i1
+        spec_prev = jnp.zeros(shp, jnp.int32)
+        pdf_prev = jnp.ones(shp, jnp.float32)
+
+        for bounce in range(cfg.max_depth + 1):
+            t, sid, valid, nrm = _closest_hit(static, o, d)
+            t_safe = jnp.where(valid, t, 1.0)
+            hp = o + d * t_safe
+            wo = -d
+
+            # light id of hit surface + one-sided emission
+            li_idx = jnp.full(shp, np.int32(-1))
+            for m in range(M):
+                if mats["light_index"][m] >= 0:
+                    li_idx = jnp.where(sid == m,
+                                       np.int32(mats["light_index"][m]), li_idx)
+            facing = nrm.dot(wo) > 0.0
+            emit_v = _select_table3(sid, emission_ref, M)
+            emit_mask = valid & facing
+            le = V3(jnp.where(emit_mask, emit_v.x, 0.0),
+                    jnp.where(emit_mask, emit_v.y, 0.0),
+                    jnp.where(emit_mask, emit_v.z, 0.0))
+
+            # MIS weight vs the pdf of the light this ray found
+            pdf_l_hit = jnp.zeros(shp, jnp.float32)
+            for i, lt in enumerate(lights):
+                if lt["kind"] in (klights.POINT, klights.DIRECTION,
+                                  klights.ENV):
+                    continue
+                pi = _light_pdf(lt, o, prev_n, d)
+                pdf_l_hit = jnp.where(li_idx == i, pi, pdf_l_hit)
+            full = (np.int32(bounce) == 0) | (spec_prev != 0)
+            w_emit = jnp.where(full, np.float32(1.0),
+                               _safe_div(pdf_prev, pdf_prev + pdf_l_hit))
+            wb = jnp.where(alive, w_emit, 0.0)
+            big_l = big_l + beta * le * wb
+
+            if env_i is not None:
+                env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
+                         env_ref[0, 1] * jnp.ones(shp, jnp.float32),
+                         env_ref[0, 2] * jnp.ones(shp, jnp.float32))
+                pdf_env = _light_pdf(lights[env_i], o, prev_n, d)
+                w_env = jnp.where(full, np.float32(1.0),
+                                  _safe_div(pdf_prev, pdf_prev + pdf_env))
+                wenv = jnp.where(alive & ~valid, w_env, 0.0)
+                big_l = big_l + beta * env * wenv
+
+            cont = alive & valid & (bounce < cfg.max_depth)
+
+            # material resolution (plastic stochastic lobe pick)
+            u_lobe = rng.uniform(shp)
+            kind = jnp.zeros(shp, jnp.int32)
+            col_scale = jnp.ones(shp, jnp.float32)
+            exponent = _select_rows(sid, range(M), mats["exponent"])
+            eta = _select_rows(sid, range(M), mats["eta"])
+            s_prob = _select_rows(sid, range(M), mats["s_prob"])
+            d_prob = _select_rows(sid, range(M), mats["d_prob"])
+            diffuse = _select_table3(sid, diffuse_ref, M)
+            specular = _select_table3(sid, specular_ref, M)
+            mk = jnp.zeros(shp, jnp.int32)
+            for m in range(M):
+                if mats["kind"][m] != 0:
+                    mk = jnp.where(sid == m, np.int32(mats["kind"][m]), mk)
+            pick_spec = u_lobe < s_prob
+            plastic_kind = jnp.where(pick_spec, np.int32(kbsdf.PHONG),
+                                     np.int32(kbsdf.LAMBERT))
+            inv_sp = 1.0 / jnp.maximum(s_prob, 1e-12)
+            inv_dp = 1.0 / jnp.maximum(d_prob, 1e-12)
+            plastic_col = (specular * inv_sp).where(pick_spec,
+                                                    diffuse * inv_dp)
+            is_matte = mk == kbsdf.MAT_MATTE
+            is_mirror = mk == kbsdf.MAT_MIRROR
+            is_glass = mk == kbsdf.MAT_GLASS
+            kind = jnp.where(is_matte, np.int32(kbsdf.LAMBERT),
+                             jnp.where(is_mirror, np.int32(kbsdf.MIRROR),
+                                       jnp.where(is_glass, np.int32(kbsdf.GLASS),
+                                                 plastic_kind)))
+            color = diffuse.where(is_matte,
+                                  specular.where(is_mirror | is_glass,
+                                                 plastic_col))
+            color2 = diffuse
+            delta = (kind == kbsdf.MIRROR) | (kind == kbsdf.GLASS)
+            nee_act = cont & ~delta
+
+            # local frame at hit
+            s_f, t_f, n_f = make_frame(nrm)
+            wo_l = to_local(s_f, t_f, n_f, wo)
+
+            # ---- light-side NEE ----
+            ld = v3_zeros(o.x)
+            for i, lt in enumerate(lights):
+                u1 = rng.uniform(shp)
+                u2 = rng.uniform(shp)
+                emit_l = V3(light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
+                            light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
+                            light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
+                wi, pdf_l, li_v, dist = _light_sample(
+                    lt, emit_l, world_radius, hp, nrm, u1, u2)
+                wi_l = to_local(s_f, t_f, n_f, wi)
+                f_e, pdf_b = _bsdf_eval_pdf(kind, color, exponent, wo_l, wi_l)
+                f_cos = f_e * jnp.abs(wi_l.z)
+                if lt["kind"] in (klights.POINT, klights.DIRECTION):
+                    w = _safe_div(np.float32(1.0), pdf_l)
+                else:
+                    w = _safe_div(np.float32(1.0), pdf_l + pdf_b)
+                ok = nee_act & (pdf_l > 0.0) & ~li_v.is_black() \
+                    & ~f_cos.is_black()
+                occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
+                               dist - km.SHADOW_EPSILON)
+                okf = jnp.where(ok & ~occ, w, 0.0)
+                ld = ld + f_cos * li_v * okf
+            big_l = big_l + beta * ld
+
+            # ---- extension sample ----
+            u1 = rng.uniform(shp)
+            u2 = rng.uniform(shp)
+            f_s, wi_l, pdf_s, delta_s = _bsdf_sample(
+                kind, color, color2, eta, exponent, wo_l, u1, u2)
+            wi_w = to_world(s_f, t_f, n_f, wi_l)
+            ok = cont & ~f_s.is_black() & (pdf_s != 0.0)
+            thr = f_s * _safe_div(jnp.abs(wi_l.z), pdf_s)
+
+            beta_new = beta * thr
+            u_rr = rng.uniform(shp)
+            q = jnp.maximum(np.float32(0.05), 1.0 - beta_new.max_component())
+            rr_on = np.int32(bounce) > cfg.rr_start
+            kill = rr_on & (u_rr < q)
+            scale = jnp.where(rr_on, _safe_div(np.float32(1.0), 1.0 - q), 1.0)
+            beta_new = beta_new * scale
+
+            alive_n = ok & ~kill
+            o = _offset_origin(hp, nrm, wi_w).where(alive_n, o)
+            d = wi_w.where(alive_n, d)
+            beta = beta_new.where(alive_n, beta)
+            prev_n = nrm.where(alive_n, prev_n)
+            spec_prev = jnp.where(alive_n, delta_s.astype(jnp.int32),
+                                  spec_prev)
+            pdf_prev = jnp.where(alive_n, pdf_s, pdf_prev)
+            alive = alive_n
+
+        lx_ref[:] = big_l.x
+        ly_ref[:] = big_l.y
+        lz_ref[:] = big_l.z
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
+                       interpret: bool = False):
+    """Build a jitted lane tracer for `scene`'s (static) geometry.
+
+    Returns fn(scene, o, d, seed) -> (N, 3) radiance, where only the
+    material/emission tables of `scene` are read as traced values (so the
+    same compiled kernel serves parameter updates / inverse rendering);
+    `seed` is a traced int32 scalar. One Mosaic compile per
+    (geometry, cfg, lane count).
+    """
+    cfg = cfg or KernelConfig()
+    if interpret is True:
+        # CPU interpretation needs the TPU-semantics interpreter for the
+        # pltpu.prng_* primitives
+        interpret = pltpu.InterpretParams()
+    static = extract_static(scene)
+    kernel = _make_kernel(static, cfg, hw_rng=(interpret is False))
+    m_rows = int(scene.mat_kind.shape[0])
+    n_lights = int(scene.n_lights)
+    has_env = bool(scene.has_env)
+
+    @jax.jit
+    def trace(scene, o, d, seed):
+        n = o.shape[0]
+        tile = cfg.rows * LANE
+        npad = ((n + tile - 1) // tile) * tile
+        grid = npad // tile
+
+        def planes(v):
+            pad = jnp.zeros((npad - n,), jnp.float32)
+            return [jnp.concatenate([v[:, i], pad])
+                    .reshape(grid * cfg.rows, LANE) for i in range(3)]
+
+        ox, oy, oz = planes(o)
+        dx, dy, dz = planes(d)
+
+        blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        light_emit = (scene.lights.emit if n_lights
+                      else jnp.zeros((1, 3), jnp.float32))
+        env = (scene.env_radiance_ if has_env
+               else jnp.zeros(3, jnp.float32)).reshape(1, 3)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # seed (1,)
+                smem((m_rows, 3)),                          # diffuse
+                smem((m_rows, 3)),                          # specular
+                smem((m_rows, 3)),                          # emission
+                smem((max(n_lights, 1), 3)),                # light emit
+                smem((1, 3)),                               # env radiance
+                blk, blk, blk, blk, blk, blk,
+            ],
+            out_specs=[blk, blk, blk],
+            out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
+                                            jnp.float32) for _ in range(3)],
+            interpret=interpret,
+        )(seed_arr, scene.mat_diffuse, scene.mat_specular, scene.emission,
+          light_emit, env, ox, oy, oz, dx, dy, dz)
+
+        lx, ly, lz = [v.reshape(-1)[:n] for v in out]
+        return jnp.stack([lx, ly, lz], axis=-1)
+
+    return trace
+
+
+def render_lanes_pallas(scene, o, d, seed: int, cfg: KernelConfig | None = None,
+                       interpret: bool = False):
+    """One-shot convenience wrapper around make_pallas_tracer."""
+    tracer = make_pallas_tracer(scene, cfg, interpret)
+    return tracer(scene, o, d, jnp.int32(seed))
+
+
+def render_pallas(scene, spp: int = 16, seed: int = 1234,
+                  cfg: KernelConfig | None = None, clamp: bool = True,
+                  rays_per_pass: int = 1 << 20, interpret: bool = False):
+    """Full-frame render through the megakernel -> (H, W, 3) float32.
+
+    Camera ray generation + jitter run as (cheap) XLA ops outside the
+    kernel; each pass traces up to rays_per_pass lanes. Pass seeds fold the
+    pass index so every sample draws an independent in-kernel stream.
+    """
+    import numpy as np
+
+    from kytpu.scene import scene as kscene
+
+    cfg = cfg or KernelConfig()
+    tracer = make_pallas_tracer(scene, cfg, interpret)
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    npix = w * h
+    k = max(1, min(spp, rays_per_pass // max(npix, 1)))
+
+    pid = jnp.asarray(np.arange(npix, dtype=np.int32))
+    px0 = (pid % w).astype(jnp.float32)
+    py0 = (pid // w).astype(jnp.float32)
+    key = jax.random.key(seed)
+
+    @jax.jit
+    def one_pass(scene, kk, seed_val):
+        u = jax.random.uniform(kk, (k * npix, 2))
+        px = jnp.tile(px0, k) + u[:, 0]
+        py = jnp.tile(py0, k) + u[:, 1]
+        o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+        out = tracer(scene, o, d, seed_val)
+        return out.reshape(k, npix, 3).sum(axis=0)
+
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    s0 = 0
+    p = 0
+    while s0 < spp:
+        accum = accum + one_pass(scene, jax.random.fold_in(key, p),
+                                 jnp.int32(seed + 7919 * p))
+        s0 += k
+        p += 1
+    img = (accum / float(p * k)).reshape(h, w, 3)
+    if clamp:
+        img = jnp.clip(img, 0.0, 1.0)
+    return img

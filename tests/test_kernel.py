@@ -1,0 +1,166 @@
+"""Megakernel component equivalence: the plane-SoA functions in
+kytpu/kernels/wavefront.py are pure jnp, so outside pallas_call they must
+reproduce the reference jnp implementations EXACTLY (same formulas, same
+draws). The in-kernel assembly is covered by the statistical render
+comparison (test_kernel_render_matches_fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kytpu import bsdf as kbsdf
+from kytpu.core import frame as kframe
+from kytpu.core import math as km
+from kytpu.kernels import wavefront as wf
+from kytpu.kernels.v3 import V3
+from kytpu.light import lights as klights
+from kytpu.scene import builders, shapes as kshapes
+from kytpu.scene import scene as kscene
+
+N = 4096
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return builders.veach_mis(width=32, height=20)
+
+
+@pytest.fixture(scope="module")
+def rays(scene):
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (N, 2))
+    w, h = 32, 20
+    pid = jnp.arange(N, dtype=jnp.int32) % (w * h)
+    px = (pid % w).astype(jnp.float32) + u[:, 0]
+    py = (pid // w).astype(jnp.float32) + u[:, 1]
+    return kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+
+
+def _v3(a):
+    return V3(a[:, 0], a[:, 1], a[:, 2])
+
+
+def test_closest_hit_matches(scene, rays):
+    o, d = rays
+    static = wf.extract_static(scene)
+    t_k, sid_k, valid_k, n_k = wf._closest_hit(static, _v3(o), _v3(d))
+    t_r, sid_r, valid_r = kshapes.closest_hit(
+        scene.geometry, o, d, jnp.full((N,), jnp.inf))
+    np.testing.assert_array_equal(np.asarray(valid_k), np.asarray(valid_r))
+    m = np.asarray(valid_r)
+    np.testing.assert_allclose(np.asarray(t_k)[m], np.asarray(t_r)[m],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sid_k)[m], np.asarray(sid_r)[m])
+    n_r = kshapes.surface_normal(scene.geometry, sid_r, o + t_r[:, None] * d, d)
+    for c, plane in zip(range(3), (n_k.x, n_k.y, n_k.z)):
+        np.testing.assert_allclose(np.asarray(plane)[m],
+                                   np.asarray(n_r)[m, c], atol=2e-5)
+
+
+def test_any_hit_matches(scene, rays):
+    o, d = rays
+    static = wf.extract_static(scene)
+    tmax = jnp.full((N,), 3.0)
+    h_k = wf._any_hit(static, _v3(o), _v3(d), tmax)
+    h_r = kshapes.any_hit(scene.geometry, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_r))
+
+
+def test_fresnel_matches():
+    ci = jnp.linspace(-1, 1, 1001)
+    eta = jnp.full_like(ci, 1.6)
+    a = wf._fresnel_dielectric(ci, eta)
+    b = km.fresnel_dielectric(ci, jnp.ones_like(ci), eta)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", [kbsdf.LAMBERT, kbsdf.MIRROR, kbsdf.GLASS,
+                                  kbsdf.PHONG])
+def test_bsdf_sample_matches(kind):
+    key = jax.random.key(3)
+    u = jax.random.uniform(key, (N, 2))
+    wo = km.normalize(jax.random.normal(jax.random.fold_in(key, 1), (N, 3)))
+    color = jnp.tile(jnp.asarray([[0.8, 0.6, 0.4]]), (N, 1))
+    color2 = jnp.tile(jnp.asarray([[0.5, 0.7, 0.9]]), (N, 1))
+    eta = jnp.full((N,), 1.6)
+    expo = jnp.full((N,), 32.0)
+    params = kbsdf.BsdfParams(kind=jnp.full((N,), kind, jnp.int32),
+                              color=color, color2=color2, eta=eta,
+                              exponent=expo)
+    ref = kbsdf.sample_local(params, wo, u)
+    f_k, wi_k, pdf_k, delta_k = wf._bsdf_sample(
+        jnp.full((N,), kind, jnp.int32), _v3(color), _v3(color2), eta, expo,
+        _v3(wo), u[:, 0], u[:, 1])
+    np.testing.assert_allclose(np.asarray(wi_k.x), np.asarray(ref.wi[:, 0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wi_k.z), np.asarray(ref.wi[:, 2]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf_k), np.asarray(ref.pdf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_k.x), np.asarray(ref.f[:, 0]),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta_k), np.asarray(ref.delta))
+
+
+def test_bsdf_eval_pdf_matches():
+    key = jax.random.key(5)
+    wo = km.normalize(jax.random.normal(key, (N, 3)))
+    wi = km.normalize(jax.random.normal(jax.random.fold_in(key, 1), (N, 3)))
+    color = jnp.tile(jnp.asarray([[0.8, 0.6, 0.4]]), (N, 1))
+    for kind in (kbsdf.LAMBERT, kbsdf.PHONG):
+        params = kbsdf.BsdfParams(
+            kind=jnp.full((N,), kind, jnp.int32), color=color, color2=color,
+            eta=jnp.ones((N,)), exponent=jnp.full((N,), 12.0))
+        f_r = kbsdf.eval_local(params, wo, wi)
+        pdf_r = kbsdf.pdf_local(params, wo, wi)
+        f_k, pdf_k = wf._bsdf_eval_pdf(
+            jnp.full((N,), kind, jnp.int32), _v3(color),
+            jnp.full((N,), 12.0), _v3(wo), _v3(wi))
+        np.testing.assert_allclose(np.asarray(f_k.y), np.asarray(f_r[:, 1]),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pdf_k), np.asarray(pdf_r),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_light_sample_pdf_match(scene):
+    """Kernel light sampling == klights for every light, same draws."""
+    static = wf.extract_static(scene)
+    key = jax.random.key(7)
+    u = jax.random.uniform(key, (N, 2))
+    p = jax.random.normal(jax.random.fold_in(key, 1), (N, 3)) * 2.0
+    n_sh = km.normalize(jax.random.normal(jax.random.fold_in(key, 2), (N, 3)))
+    wr = scene.world_radius
+    for i, lt in enumerate(static["lights"]):
+        ref = klights.sample_li(scene.lights, i, wr, p, n_sh, u)
+        emit = wf._cv3([float(x) for x in np.asarray(scene.lights.emit[i])])
+        emit = V3(jnp.full((N,), emit.x), jnp.full((N,), emit.y),
+                  jnp.full((N,), emit.z))
+        wi_k, pdf_k, li_k, dist_k = wf._light_sample(
+            lt, emit, float(np.asarray(wr)), _v3(p), _v3(n_sh),
+            u[:, 0], u[:, 1])
+        np.testing.assert_allclose(np.asarray(wi_k.x),
+                                   np.asarray(ref.wi[:, 0]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pdf_k), np.asarray(ref.pdf),
+                                   rtol=2e-3, atol=1e-5)
+        # pdf_li parity at the sampled directions
+        pdf2_r = klights.pdf_li(scene.lights, i, p, n_sh, ref.wi)
+        pdf2_k = wf._light_pdf(lt, _v3(p), _v3(n_sh), wi_k)
+        np.testing.assert_allclose(np.asarray(pdf2_k), np.asarray(pdf2_r),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_kernel_render_matches_fast():
+    """Statistical: interpret-mode megakernel render vs fast integrator."""
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.render import render
+
+    scene = builders.cornell_box(width=16, height=16)
+    img_k = np.asarray(wf.render_pallas(
+        scene, spp=48, seed=3, cfg=wf.KernelConfig(max_depth=3, rows=8),
+        interpret=True))
+    img_f = np.asarray(render(scene, spp=48, seed=5,
+                              cfg=FastConfig(max_depth=3)))
+    d4 = lambda a: a.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))  # noqa: E731
+    err = np.abs(d4(img_k) - d4(img_f)).mean()
+    assert err < 0.03, err
