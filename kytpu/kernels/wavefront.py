@@ -350,7 +350,9 @@ def _concentric_disk(u1, u2):
 def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2):
     """Local-frame sample of all 4 models + select (bsdf.py:174-238).
 
-    Returns (f: V3, wi: V3, pdf, delta_mask).
+    Returns (f: V3, wi: V3, pdf, delta_mask, f_unit, glass_refract) where
+    f == (glass_refract ? color2 : color) * f_unit — the linear-in-color
+    factorization the path-replay backward needs.
     """
     mirror_wi = V3(-wo.x, -wo.y, wo.z)
 
@@ -414,11 +416,20 @@ def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2):
                     jnp.where(is_mir, pdf_mir,
                               jnp.where(is_gls, pdf_gl, pdf_ph)))
     delta = is_mir | is_gls
-    return f, wi, pdf, delta
+    unit_lam = jnp.where(same_lam, np.float32(km.INV_PI), 0.0)
+    unit_gl = jnp.where(take_refl, fr / abs_cos_g,
+                        jnp.where(refr_ok, (1.0 - fr) / abs_cos_g, 0.0))
+    f_unit = jnp.where(is_lam, unit_lam,
+                       jnp.where(is_mir, 1.0 / abs_cos_m,
+                                 jnp.where(is_gls, unit_gl, ph_val)))
+    glass_refract = is_gls & ~take_refl
+    return f, wi, pdf, delta, f_unit, glass_refract
 
 
 def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3):
-    """Local-frame eval + pdf for the non-delta lobes (bsdf.py:136-162)."""
+    """Local-frame eval + pdf for the non-delta lobes (bsdf.py:136-162).
+
+    Returns (f: V3, pdf, f_unit) with f == color * f_unit."""
     same = wo.z * wi.z > 0
     f_lam = color * np.float32(km.INV_PI)
     f_lam = f_lam.where(same, v3_zeros(wo.x))
@@ -436,7 +447,9 @@ def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3):
     is_ph = kind == kbsdf.PHONG
     f = f_lam.where(is_lam, f_ph.where(is_ph, v3_zeros(wo.x)))
     pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_ph, pdf_ph, 0.0))
-    return f, pdf
+    f_unit = jnp.where(is_lam, jnp.where(same, np.float32(km.INV_PI), 0.0),
+                       jnp.where(is_ph, ph, 0.0))
+    return f, pdf, f_unit
 
 
 # -- lights (plane port of kytpu/light/lights.py) ----------------------------
@@ -626,7 +639,20 @@ def _light_pdf(lt, p: V3, n_shade: V3, wi: V3):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
+def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
+                 grad: bool = False):
+    """Build the kernel body.
+
+    grad=False: forward — writes (Lx, Ly, Lz) radiance planes.
+    grad=True:  path-replay backward (PRB, Vicini et al. 2021 style, under
+    detached sampling): replays the exact forward RNG stream, maintains the
+    per-channel tail radiance R_b = E_b + T_b * R_{b+1} seeded with the
+    forward output L, and accumulates the adjoints of every linear-in-color
+    factor — emission (hit + NEE light terms), diffuse and specular tables —
+    scaled by the upstream cotangent g. Outputs are (3M, R, 128) per-lane
+    adjoint planes accumulated across the (sequential) grid, reduced to
+    (M, 3) on the host.
+    """
     mats = static["mats"]
     lights = static["lights"]
     M = len(mats["kind"])
@@ -634,11 +660,25 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
     world_radius = static["world_radius"]
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
+    # light index -> emitting surface row (for NEE emission adjoints)
+    light_row = {}
+    for m in range(M):
+        li = mats["light_index"][m]
+        if li >= 0 and li not in light_row:
+            light_row[li] = m
 
-    def kernel(seed_ref, diffuse_ref, specular_ref, emission_ref,
-               light_emit_ref, env_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               lx_ref, ly_ref, lz_ref):
+    def kernel(*refs):
+        if grad:
+            (seed_ref, diffuse_ref, specular_ref, emission_ref,
+             light_emit_ref, env_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+             dd_ref, ds_ref, de_ref) = refs
+        else:
+            (seed_ref, diffuse_ref, specular_ref, emission_ref,
+             light_emit_ref, env_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             lx_ref, ly_ref, lz_ref) = refs
         pid = pl.program_id(0)
         tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
         if hw_rng:
@@ -656,6 +696,20 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
         # vectors materializes i8 in Mosaic, which cannot truncate to i1
         spec_prev = jnp.zeros(shp, jnp.int32)
         pdf_prev = jnp.ones(shp, jnp.float32)
+
+        if grad:
+            g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
+            r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
+            acc_d = [v3_zeros(o.x) for _ in range(M)]
+            acc_s = [v3_zeros(o.x) for _ in range(M)]
+            acc_e = [v3_zeros(o.x) for _ in range(M)]
+
+            def row_add(acc, sid_mask_row, sid, val: V3):
+                for m in range(M):
+                    mrow = sid == m
+                    acc[m] = V3(acc[m].x + jnp.where(mrow, val.x, 0.0),
+                                acc[m].y + jnp.where(mrow, val.y, 0.0),
+                                acc[m].z + jnp.where(mrow, val.z, 0.0))
 
         for bounce in range(cfg.max_depth + 1):
             t, sid, valid, nrm = _closest_hit(static, o, d)
@@ -688,7 +742,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
             w_emit = jnp.where(full, np.float32(1.0),
                                _safe_div(pdf_prev, pdf_prev + pdf_l_hit))
             wb = jnp.where(alive, w_emit, 0.0)
-            big_l = big_l + beta * le * wb
+            e_term = le * wb
+            big_l = big_l + beta * e_term
+
+            if grad:
+                # d emission[sid] from the hit-emission term
+                wbm = jnp.where(emit_mask, wb, 0.0)
+                row_add(acc_e, None, sid, g * beta * wbm)
 
             if env_i is not None:
                 env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
@@ -698,14 +758,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
                 w_env = jnp.where(full, np.float32(1.0),
                                   _safe_div(pdf_prev, pdf_prev + pdf_env))
                 wenv = jnp.where(alive & ~valid, w_env, 0.0)
+                e_term = e_term + env * wenv
                 big_l = big_l + beta * env * wenv
 
             cont = alive & valid & (bounce < cfg.max_depth)
 
             # material resolution (plastic stochastic lobe pick)
             u_lobe = rng.uniform(shp)
-            kind = jnp.zeros(shp, jnp.int32)
-            col_scale = jnp.ones(shp, jnp.float32)
             exponent = _select_rows(sid, range(M), mats["exponent"])
             eta = _select_rows(sid, range(M), mats["eta"])
             s_prob = _select_rows(sid, range(M), mats["s_prob"])
@@ -726,6 +785,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
             is_matte = mk == kbsdf.MAT_MATTE
             is_mirror = mk == kbsdf.MAT_MIRROR
             is_glass = mk == kbsdf.MAT_GLASS
+            is_plastic = mk == kbsdf.MAT_PLASTIC
             kind = jnp.where(is_matte, np.int32(kbsdf.LAMBERT),
                              jnp.where(is_mirror, np.int32(kbsdf.MIRROR),
                                        jnp.where(is_glass, np.int32(kbsdf.GLASS),
@@ -736,6 +796,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
             color2 = diffuse
             delta = (kind == kbsdf.MIRROR) | (kind == kbsdf.GLASS)
             nee_act = cont & ~delta
+            # lobe scale of the linear color factor + its target table
+            lobe_is_phong = is_plastic & pick_spec
+            lobe_scale = jnp.where(is_plastic,
+                                   jnp.where(pick_spec, inv_sp, inv_dp), 1.0)
 
             # local frame at hit
             s_f, t_f, n_f = make_frame(nrm)
@@ -752,7 +816,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
                 wi, pdf_l, li_v, dist = _light_sample(
                     lt, emit_l, world_radius, hp, nrm, u1, u2)
                 wi_l = to_local(s_f, t_f, n_f, wi)
-                f_e, pdf_b = _bsdf_eval_pdf(kind, color, exponent, wo_l, wi_l)
+                f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
+                                                      wo_l, wi_l)
                 f_cos = f_e * jnp.abs(wi_l.z)
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
                     w = _safe_div(np.float32(1.0), pdf_l)
@@ -764,12 +829,36 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
                                dist - km.SHADOW_EPSILON)
                 okf = jnp.where(ok & ~occ, w, 0.0)
                 ld = ld + f_cos * li_v * okf
+
+                if grad:
+                    gb = g * beta
+                    # d light emission (linear in Li): goes to the light's
+                    # emitting surface row, if it has one
+                    if i in light_row:
+                        add = gb * f_cos * okf
+                        r = light_row[i]
+                        acc_e[r] = V3(acc_e[r].x + add.x,
+                                      acc_e[r].y + add.y,
+                                      acc_e[r].z + add.z)
+                    # d material color (linear in eval): target by lobe
+                    coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
+                    addc = gb * li_v * coeff
+                    to_spec = lobe_is_phong
+                    row_add(acc_s, None, sid,
+                            V3(jnp.where(to_spec, addc.x, 0.0),
+                               jnp.where(to_spec, addc.y, 0.0),
+                               jnp.where(to_spec, addc.z, 0.0)))
+                    row_add(acc_d, None, sid,
+                            V3(jnp.where(to_spec, 0.0, addc.x),
+                               jnp.where(to_spec, 0.0, addc.y),
+                               jnp.where(to_spec, 0.0, addc.z)))
             big_l = big_l + beta * ld
+            e_term = e_term + ld
 
             # ---- extension sample ----
             u1 = rng.uniform(shp)
             u2 = rng.uniform(shp)
-            f_s, wi_l, pdf_s, delta_s = _bsdf_sample(
+            f_s, wi_l, pdf_s, delta_s, f_unit_s, glass_refract = _bsdf_sample(
                 kind, color, color2, eta, exponent, wo_l, u1, u2)
             wi_w = to_world(s_f, t_f, n_f, wi_l)
             ok = cont & ~f_s.is_black() & (pdf_s != 0.0)
@@ -784,6 +873,39 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
             beta_new = beta_new * scale
 
             alive_n = ok & ~kill
+
+            if grad:
+                # tail radiance for the NEXT vertex:
+                # R_{b+1} = (R_b - E_b) / T_b  per channel, 0 where the path
+                # ends (T=0 there, all later E are 0)
+                t_eff = thr * scale
+                t_x = jnp.where(alive_n, t_eff.x, 0.0)
+                t_y = jnp.where(alive_n, t_eff.y, 0.0)
+                t_z = jnp.where(alive_n, t_eff.z, 0.0)
+                r_next = V3(_safe_div(r_tail.x - e_term.x, t_x),
+                            _safe_div(r_tail.y - e_term.y, t_y),
+                            _safe_div(r_tail.z - e_term.z, t_z))
+                r_next = V3(jnp.where(alive_n, r_next.x, 0.0),
+                            jnp.where(alive_n, r_next.y, 0.0),
+                            jnp.where(alive_n, r_next.z, 0.0))
+                # throughput adjoint: T = base_color * lobe_scale * t_unit
+                t_unit = f_unit_s * _safe_div(jnp.abs(wi_l.z), pdf_s) * scale
+                coeff_t = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                addt = g * beta * r_next * coeff_t
+                # target: specular for mirror / glass-reflect / plastic-phong;
+                # diffuse for matte / glass-refract / plastic-lambert
+                to_spec_t = (is_mirror | (is_glass & ~glass_refract)
+                             | lobe_is_phong)
+                row_add(acc_s, None, sid,
+                        V3(jnp.where(to_spec_t, addt.x, 0.0),
+                           jnp.where(to_spec_t, addt.y, 0.0),
+                           jnp.where(to_spec_t, addt.z, 0.0)))
+                row_add(acc_d, None, sid,
+                        V3(jnp.where(to_spec_t, 0.0, addt.x),
+                           jnp.where(to_spec_t, 0.0, addt.y),
+                           jnp.where(to_spec_t, 0.0, addt.z)))
+                r_tail = r_next
+
             o = _offset_origin(hp, nrm, wi_w).where(alive_n, o)
             d = wi_w.where(alive_n, d)
             beta = beta_new.where(alive_n, beta)
@@ -793,9 +915,32 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True):
             pdf_prev = jnp.where(alive_n, pdf_s, pdf_prev)
             alive = alive_n
 
-        lx_ref[:] = big_l.x
-        ly_ref[:] = big_l.y
-        lz_ref[:] = big_l.z
+        if grad:
+            def stack_acc(acc):
+                planes = []
+                for m in range(M):
+                    planes.extend([acc[m].x, acc[m].y, acc[m].z])
+                return jnp.stack(planes, axis=0)   # (3M, R, 128)
+
+            arr_d = stack_acc(acc_d)
+            arr_s = stack_acc(acc_s)
+            arr_e = stack_acc(acc_e)
+
+            @pl.when(pid == 0)
+            def _():
+                dd_ref[:] = arr_d
+                ds_ref[:] = arr_s
+                de_ref[:] = arr_e
+
+            @pl.when(pid != 0)
+            def _():
+                dd_ref[:] = dd_ref[:] + arr_d
+                ds_ref[:] = ds_ref[:] + arr_s
+                de_ref[:] = de_ref[:] + arr_e
+        else:
+            lx_ref[:] = big_l.x
+            ly_ref[:] = big_l.y
+            lz_ref[:] = big_l.z
 
     return kernel
 
@@ -881,6 +1026,128 @@ def render_lanes_pallas(scene, o, d, seed: int, cfg: KernelConfig | None = None,
     """One-shot convenience wrapper around make_pallas_tracer."""
     tracer = make_pallas_tracer(scene, cfg, interpret)
     return tracer(scene, o, d, jnp.int32(seed))
+
+
+def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
+                            interpret: bool = False):
+    """Differentiable megakernel tracer via path-replay backprop.
+
+    Returns fn(diffuse, specular, emission, o, d, seed) -> (N, 3) radiance
+    with a custom VJP: the backward pass replays the exact forward RNG
+    stream in a second Pallas kernel (no stored path state — O(1) memory in
+    path depth) and returns (d_diffuse, d_specular, d_emission), including
+    the NEE light-emission adjoints routed to each light's emitting surface
+    row exactly as diff.params.set_params ties them. Ray-origin/direction
+    cotangents are zero (geometry derivatives are out of scope, as in the
+    jnp detached-sampling path).
+    """
+    cfg = cfg or KernelConfig()
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    static = extract_static(scene)
+    hw = interpret is False
+    fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
+    bwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=True)
+    m_rows = int(scene.mat_kind.shape[0])
+    n_lights = int(scene.n_lights)
+    has_env = bool(scene.has_env)
+    light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
+        if n_lights else []
+    env_rad = (scene.env_radiance_ if has_env
+               else jnp.zeros(3, jnp.float32))
+
+    def _planes(v, n, npad, rows):
+        pad = jnp.zeros((npad - n,), jnp.float32)
+        return [jnp.concatenate([v[:, i], pad]).reshape(rows, LANE)
+                for i in range(3)]
+
+    def _grid(n):
+        tile = cfg.rows * LANE
+        npad = ((n + tile - 1) // tile) * tile
+        return npad, npad // tile
+
+    def _specs(grid):
+        blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        return blk, smem
+
+    def _light_emit_of(emission):
+        if not n_lights:
+            return jnp.zeros((1, 3), jnp.float32)
+        rows = jnp.asarray([max(r, 0) for r in light_rows], jnp.int32)
+        has = jnp.asarray([r >= 0 for r in light_rows])[:, None]
+        return jnp.where(has, emission[rows], scene.lights.emit)
+
+    @jax.custom_vjp
+    def trace(diffuse, specular, emission, o, d, seed):
+        return _fwd_impl(diffuse, specular, emission, o, d, seed)
+
+    def _fwd_impl(diffuse, specular, emission, o, d, seed):
+        n = o.shape[0]
+        npad, grid = _grid(n)
+        blk, smem = _specs(grid)
+        rows = grid * cfg.rows
+        ox, oy, oz = _planes(o, n, npad, rows)
+        dx, dy, dz = _planes(d, n, npad, rows)
+        out = pl.pallas_call(
+            fwd_kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
+                      smem((max(n_lights, 1), 3)), smem((1, 3)),
+                      blk, blk, blk, blk, blk, blk],
+            out_specs=[blk, blk, blk],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                       for _ in range(3)],
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
+          emission, _light_emit_of(emission), env_rad.reshape(1, 3),
+          ox, oy, oz, dx, dy, dz)
+        lx, ly, lz = [v.reshape(-1)[:n] for v in out]
+        return jnp.stack([lx, ly, lz], axis=-1)
+
+    def _fwd(diffuse, specular, emission, o, d, seed):
+        big_l = _fwd_impl(diffuse, specular, emission, o, d, seed)
+        return big_l, (diffuse, specular, emission, o, d, seed, big_l)
+
+    def _bwd(res, g):
+        diffuse, specular, emission, o, d, seed, big_l = res
+        n = o.shape[0]
+        npad, grid = _grid(n)
+        blk, smem = _specs(grid)
+        rows = grid * cfg.rows
+        ox, oy, oz = _planes(o, n, npad, rows)
+        dx, dy, dz = _planes(d, n, npad, rows)
+        gx, gy, gz = _planes(g, n, npad, rows)
+        flx, fly, flz = _planes(big_l, n, npad, rows)
+        acc_blk = pl.BlockSpec((3 * m_rows, cfg.rows, LANE),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((3 * m_rows, cfg.rows, LANE),
+                                         jnp.float32)
+        dd, ds, de = pl.pallas_call(
+            bwd_kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
+                      smem((max(n_lights, 1), 3)), smem((1, 3)),
+                      blk, blk, blk, blk, blk, blk,
+                      blk, blk, blk, blk, blk, blk],
+            out_specs=[acc_blk, acc_blk, acc_blk],
+            out_shape=[acc_shape, acc_shape, acc_shape],
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
+          emission, _light_emit_of(emission), env_rad.reshape(1, 3),
+          ox, oy, oz, dx, dy, dz, gx, gy, gz, flx, fly, flz)
+
+        def reduce(a):
+            return a.sum(axis=(1, 2)).reshape(m_rows, 3)
+
+        return (reduce(dd), reduce(ds), reduce(de),
+                jnp.zeros_like(o), jnp.zeros_like(d), None)
+
+    trace.defvjp(_fwd, _bwd)
+    return jax.jit(trace)
 
 
 def render_pallas(scene, spp: int = 16, seed: int = 1234,

@@ -89,7 +89,7 @@ def test_bsdf_sample_matches(kind):
                               color=color, color2=color2, eta=eta,
                               exponent=expo)
     ref = kbsdf.sample_local(params, wo, u)
-    f_k, wi_k, pdf_k, delta_k = wf._bsdf_sample(
+    f_k, wi_k, pdf_k, delta_k, f_unit, glass_refr = wf._bsdf_sample(
         jnp.full((N,), kind, jnp.int32), _v3(color), _v3(color2), eta, expo,
         _v3(wo), u[:, 0], u[:, 1])
     np.testing.assert_allclose(np.asarray(wi_k.x), np.asarray(ref.wi[:, 0]),
@@ -114,7 +114,7 @@ def test_bsdf_eval_pdf_matches():
             eta=jnp.ones((N,)), exponent=jnp.full((N,), 12.0))
         f_r = kbsdf.eval_local(params, wo, wi)
         pdf_r = kbsdf.pdf_local(params, wo, wi)
-        f_k, pdf_k = wf._bsdf_eval_pdf(
+        f_k, pdf_k, _unit = wf._bsdf_eval_pdf(
             jnp.full((N,), kind, jnp.int32), _v3(color),
             jnp.full((N,), 12.0), _v3(wo), _v3(wi))
         np.testing.assert_allclose(np.asarray(f_k.y), np.asarray(f_r[:, 1]),
@@ -164,3 +164,43 @@ def test_kernel_render_matches_fast():
     d4 = lambda a: a.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))  # noqa: E731
     err = np.abs(d4(img_k) - d4(img_f)).mean()
     assert err < 0.03, err
+
+
+def test_prb_gradients_match_fd():
+    """Path-replay backward vs central finite differences of the SAME
+    deterministic pallas forward (fixed seed => exact agreement up to f32)."""
+    scene = builders.cornell_box(width=8, height=8)
+    cfg = wf.KernelConfig(max_depth=3, rows=8)
+    tracer = wf.make_pallas_diff_tracer(scene, cfg, interpret=True)
+
+    n = 64
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+
+    def loss(diffuse, specular, emission):
+        out = tracer(diffuse, specular, emission, o, d, seed)
+        return jnp.mean(out)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(*p0)
+    em = np.asarray(scene.emission)
+    light_row = int(np.argmax(em.sum(axis=1)))
+    probes = [(0, (2, 0)), (0, (0, 1)), (2, (light_row, 0)), (1, (3, 0))]
+    eps = 1e-2
+    for argi, idx in probes:
+        args_p = list(p0)
+        args_m = list(p0)
+        args_p[argi] = p0[argi].at[idx].add(eps)
+        args_m[argi] = p0[argi].at[idx].add(-eps)
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        ad = float(g[argi][idx])
+        assert np.isfinite(ad) and np.isfinite(fd), (argi, idx, ad, fd)
+        assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
+    # gradients must be nontrivial
+    assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
