@@ -31,13 +31,20 @@ from kytpu.integrator.render import render
 from kytpu.scene import builders
 
 
-def _render(scene, spp, seed, cfg=None, mode="path", aov=None, mesh=None):
+def _render(scene, spp, seed, cfg=None, mode="path", aov=None, mesh=None,
+            engine="jnp"):
     if mesh is not None:
-        from kytpu.dist import make_mesh, render_sharded
+        from kytpu.dist import make_mesh, render_sharded, render_sharded_pallas
         m = make_mesh(shape=mesh)
+        if engine == "pallas":
+            from kytpu.kernels.wavefront import KernelConfig
+            kcfg = KernelConfig(max_depth=getattr(cfg, "max_depth", 5))
+            return render_sharded_pallas(scene, m, spp=spp, seed=seed,
+                                         kernel_cfg=kcfg)
         return render_sharded(scene, m, spp=spp, seed=seed, cfg=cfg,
                               mode=mode, aov=aov)
-    return render(scene, spp=spp, seed=seed, cfg=cfg, mode=mode, aov=aov)
+    return render(scene, spp=spp, seed=seed, cfg=cfg, mode=mode, aov=aov,
+                  engine=engine if mode == "path" else "jnp")
 
 
 def _save(path: str, img) -> None:
@@ -72,7 +79,8 @@ def cmd_single(args):
     cfg = PathConfig(max_depth=args.depth, variant="iteration",
                      strategy="both_mis")
     t0 = time.perf_counter()
-    img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh)
+    img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh,
+                  engine=args.engine)
     dt = time.perf_counter() - t0
     print(f"{dt:.3f} seconds, {args.size}x{args.size} @ {args.spp} spp")
     _save(args.out or "single.bmp", img)
@@ -166,6 +174,10 @@ def main(argv=None):
         sp.add_argument("--out", type=str, default=None)
         sp.add_argument("--mesh", type=lambda s: tuple(map(int, s.split(","))),
                         default=None, help="t,s mesh shape for SPMD render")
+        sp.add_argument("--engine", choices=("jnp", "pallas"), default="jnp",
+                        help="pallas = fused TPU megakernel (production "
+                             "estimator; the strategy-matrix drivers always "
+                             "use the jnp engine)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

@@ -121,3 +121,76 @@ def render_tiles(scene, mesh: Mesh, **kw):
     (checkpointing partial films, per-host encoding)."""
     img = render_sharded(scene, mesh, clamp=False, **kw)
     return img.reshape(-1, 3)
+
+
+def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
+                          kernel_cfg=None, clamp: bool = True,
+                          interpret: bool = False):
+    """Sharded render through the fused Pallas megakernel.
+
+    Same ("tile", "spp") decomposition as render_sharded — pixels sharded
+    over tile, samples over spp, one psum per pass — but each device runs
+    the megakernel on its lane shard (a pallas_call inside shard_map).
+    Camera jitter stays keyed by (pixel, sample) so it is mesh-invariant;
+    the in-kernel path RNG is seeded per (seed, device, tile), so unlike
+    the jnp engine the image is reproducible per mesh shape rather than
+    across mesh shapes.
+    """
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.scene import scene as kscene_mod
+
+    cfg = kernel_cfg or kwf.KernelConfig()
+    tracer = kwf.make_pallas_tracer(scene, cfg, interpret=interpret)
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    npix = w * h
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if spp % n_spp:
+        raise ValueError(f"spp={spp} not divisible by spp axis {n_spp}")
+
+    npad = _pad_to(npix, n_tile)
+    pid = jnp.asarray((np.arange(npad, dtype=np.int64) % npix)
+                      .astype(np.int32))
+    px = (pid % w).astype(jnp.float32)
+    py = (pid // w).astype(jnp.float32)
+
+    tile_sh = NamedSharding(mesh, P("tile"))
+    px = jax.device_put(px, tile_sh)
+    py = jax.device_put(py, tile_sh)
+    pid = jax.device_put(pid, tile_sh)
+    sid = jax.device_put(jnp.arange(spp, dtype=jnp.int32),
+                         NamedSharding(mesh, P("spp")))
+    key = jax.random.key(seed)
+
+    def body(scene, px, py, pid, sid):
+        s_loc = sid.shape[0]
+        p_loc = pid.shape[0]
+        lane_pid = jnp.tile(pid, s_loc)
+        lane_sid = jnp.repeat(sid, p_loc)
+        keys = jax.vmap(
+            lambda s_, p_: jax.random.fold_in(jax.random.fold_in(key, s_), p_)
+        )(lane_sid, lane_pid)
+        u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
+        lane_px = jnp.tile(px, s_loc) + u[:, 0]
+        lane_py = jnp.tile(py, s_loc) + u[:, 1]
+        o, d = kscene_mod.generate_rays(cam, jnp.stack([lane_px, lane_py], -1))
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        dev_seed = (jnp.int32(seed) + ti.astype(jnp.int32) * jnp.int32(7919)
+                    + si.astype(jnp.int32) * jnp.int32(104729))
+        out = tracer(scene, o, d, dev_seed)
+        partial = out.reshape(s_loc, p_loc, 3).sum(axis=0)
+        return jax.lax.psum(partial, "spp")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("tile"), P("tile"), P("tile"), P("spp")),
+        out_specs=P("tile", None),
+        check_vma=False,
+    ))
+    accum = fn(scene, px, py, pid, sid)
+    img = (accum[:npix] / float(spp)).reshape(h, w, 3)
+    if clamp:
+        img = jnp.clip(img, 0.0, 1.0)
+    return img

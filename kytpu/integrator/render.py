@@ -93,14 +93,23 @@ def _render_mean(scene, spp, seed, cfg, mode, aov, rays_per_pass):
 def render(scene, spp: int = 16, seed: int = 1234,
            cfg: kpath.PathConfig | None = None, mode: str = "path",
            aov: str | None = None, clamp: bool = True,
-           rays_per_pass: int = 1 << 20):
+           rays_per_pass: int = 1 << 20, engine: str = "jnp"):
     """Render a full frame; returns (H, W, 3) float32.
 
-    mode: "path" (the wavefront path tracer), "direct" (NEE only), or
-    "aov" with aov in {"position","normal","basecolor"}.
+    mode: "path" (the wavefront path tracer), "fast" (production
+    single-sample-MIS), "direct" (NEE only), or "aov" with aov in
+    {"position","normal","basecolor"}.
+    engine: "jnp" (XLA op graph) or "pallas" (the fused megakernel;
+    ignores mode/cfg.variant — it always runs the production transport).
     `clamp` reproduces the reference's per-pixel clamp01-of-the-mean
     (ky.cpp:3726); disable for HDR output or differentiable use.
     """
+    if engine == "pallas":
+        from kytpu.kernels import wavefront as kwf
+        kcfg = (cfg if isinstance(cfg, kwf.KernelConfig)
+                else kwf.KernelConfig(max_depth=getattr(cfg, "max_depth", 5)))
+        return kwf.render_pallas(scene, spp=spp, seed=seed, cfg=kcfg,
+                                 clamp=clamp, rays_per_pass=rays_per_pass)
     cfg = cfg or kpath.PathConfig()
     if cfg.sampler == "stratified" and cfg.strata == (1, 1):
         import dataclasses

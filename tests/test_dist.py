@@ -64,3 +64,18 @@ def test_sharded_train_step(scene):
     for k in params_s:
         np.testing.assert_allclose(np.asarray(params_s[k]),
                                    np.asarray(params_u[k]), atol=1e-5)
+
+
+def test_sharded_pallas_render(scene):
+    """Megakernel inside shard_map on the CPU mesh (interpret mode)."""
+    import numpy as np
+    from kytpu.dist import render_sharded_pallas
+    from kytpu.kernels.wavefront import KernelConfig
+
+    mesh = make_mesh(shape=(4, 2))
+    img = np.asarray(render_sharded_pallas(
+        scene, mesh, spp=2, seed=9, kernel_cfg=KernelConfig(max_depth=2, rows=8),
+        interpret=True))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005
