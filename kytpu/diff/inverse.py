@@ -80,11 +80,14 @@ def _sharded_loss(params, scene, target_flat, key, px, py, pid, sid,
 
 def make_train_step(scene, target, spp: int = 4,
                     cfg: kpath.PathConfig | None = None,
-                    optimizer=None, loss_fn=klosses.relmse, mesh=None):
+                    optimizer=None, loss_fn=klosses.relmse, mesh=None,
+                    engine: str = "jnp"):
     """Build (step, params0, opt_state0).
 
     step(params, opt_state, key) -> (params, opt_state, loss); jitted.
     With `mesh`, the whole step runs SPMD over ("tile", "spp").
+    engine="pallas" differentiates through the megakernel's path-replay
+    backward instead of XLA autodiff (single-device for now).
     """
     cfg = cfg or kpath.PathConfig(max_depth=3)
     optimizer = optimizer or optax.adam(2e-2)
@@ -92,7 +95,32 @@ def make_train_step(scene, target, spp: int = 4,
     opt_state0 = optimizer.init(params0)
     w, h = scene.camera.width, scene.camera.height
 
-    if mesh is None:
+    if engine == "pallas":
+        if mesh is not None:
+            raise NotImplementedError("pallas train step is single-device")
+        from kytpu.kernels import wavefront as kwf
+        from kytpu.scene import scene as kscene_mod
+        kcfg = kwf.KernelConfig(max_depth=cfg.max_depth)
+        on_tpu = any("TPU" in getattr(dev, "device_kind", "")
+                     for dev in jax.devices())
+        tracer = kwf.make_pallas_diff_tracer(scene, kcfg,
+                                             interpret=not on_tpu)
+        npix = w * h
+        pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp)
+        px0 = (pid % w).astype(jnp.float32)
+        py0 = (pid // w).astype(jnp.float32)
+        cam = scene.camera
+
+        def loss_of(params, key):
+            u = jax.random.uniform(key, (spp * npix, 2))
+            o, d = kscene_mod.generate_rays(
+                cam, jnp.stack([px0 + u[:, 0], py0 + u[:, 1]], -1))
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            out = tracer(params["mat_diffuse"], params["mat_specular"],
+                         params["emission"], o, d, seed)
+            img = out.reshape(spp, h, w, 3).mean(axis=0)
+            return loss_fn(img, target)
+    elif mesh is None:
         def loss_of(params, key):
             return render_loss(params, scene, target, key, spp, cfg, loss_fn)
     else:

@@ -204,3 +204,25 @@ def test_prb_gradients_match_fd():
         assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
     # gradients must be nontrivial
     assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
+
+
+def test_pallas_train_step_reduces_loss():
+    """Inverse rendering through the PRB kernel (interpret mode)."""
+    from kytpu.diff import get_params, set_params
+    from kytpu.diff.inverse import make_train_step, render_once
+    from kytpu.integrator.path import PathConfig
+
+    scene = builders.cornell_box(width=8, height=8)
+    cfg = PathConfig(max_depth=2)
+    key = jax.random.key(11)
+    target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=cfg))
+    wrong = set_params(scene, {
+        "mat_diffuse": get_params(scene)["mat_diffuse"] * 0.4})
+    step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
+                                        engine="pallas")
+    losses = []
+    for i in range(4):
+        params, opt, loss = step(params, opt, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
+    assert losses[-1] < losses[0], losses
