@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 TARGET_RAYS_PER_S = 50e6
-LANES = 1 << 18
+LANES = 1 << 22   # large batches amortize the per-launch overhead
 W, H = 512, 308
 
 
