@@ -1,0 +1,107 @@
+"""Multi-config benchmark report (BASELINE.json's `configs`).
+
+Runs the production configurations and prints one JSON line per config:
+
+  python benchmarks/run.py [--quick]
+
+Configs (BASELINE.md):
+  1. cornell64   — smallpt-style Cornell, 256x256 @ 64 spp render throughput
+  2. veach256    — Veach MIS 512x308 @ 256 spp-equivalent fwd rays/s
+  3. veach_fwd_bwd — the headline (same as bench.py)
+  4. aov         — deterministic AOV pass throughput
+  5. inverse_step — one inverse-rendering optimization step (fwd+bwd+adam)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, n=3):
+    jax.block_until_ready(fn())
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller passes (CI smoke)")
+    args = ap.parse_args()
+
+    from kytpu.diff import get_params
+    from kytpu.diff.inverse import make_train_step, render_once
+    from kytpu.integrator.path import PathConfig
+    from kytpu.integrator.render import render
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.scene import builders, scene as kscene
+
+    results = []
+    quick = args.quick
+
+    # 1. cornell render throughput (megakernel, full frame)
+    size = 128 if quick else 256
+    spp = 16 if quick else 64
+    scene = builders.cornell_box(width=size, height=size)
+    kcfg = kwf.KernelConfig(max_depth=5)
+    dt = _time(lambda: kwf.render_pallas(scene, spp=spp, seed=1, cfg=kcfg),
+               n=2)
+    rays = size * size * spp
+    results.append(dict(metric="cornell_render_rays_per_s", value=rays / dt,
+                        unit="rays/s", config=f"{size}x{size}@{spp}spp"))
+
+    # 2. veach forward rays/s at production batch
+    scene_v = builders.veach_mis(width=512, height=308)
+    tracer = kwf.make_pallas_tracer(scene_v, kcfg)
+    n = 1 << (20 if quick else 22)
+    npix = 512 * 308
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32) % npix
+    px = (pid % 512).astype(jnp.float32) + u[:, 0]
+    py = (pid // 512).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene_v.camera, jnp.stack([px, py], -1))
+    jax.block_until_ready((o, d))
+    dt = _time(lambda: tracer(scene_v, o, d, jnp.int32(3)))
+    results.append(dict(metric="veach_fwd_rays_per_s", value=n / dt,
+                        unit="rays/s", config=f"{n} lanes, depth 5"))
+
+    # 3. AOV pass (deterministic geometry oracle)
+    dt = _time(lambda: render(scene_v, spp=4, mode="aov", aov="normal"))
+    results.append(dict(metric="aov_normal_rays_per_s",
+                        value=npix * 4 / dt, unit="rays/s",
+                        config="512x308@4spp"))
+
+    # 4. one inverse-rendering step through the PRB kernel
+    size_i = 32 if quick else 64
+    scene_i = builders.cornell_box(width=size_i, height=size_i)
+    cfg_i = PathConfig(max_depth=3)
+    target = jax.lax.stop_gradient(
+        render_once(scene_i, jax.random.key(7), spp=2, cfg=cfg_i))
+    step, params, opt = make_train_step(scene_i, target, spp=4, cfg=cfg_i,
+                                        engine="pallas")
+    k = jax.random.key(0)
+
+    def one():
+        p2, o2, loss = step(params, opt, k)
+        return loss
+    dt = _time(one)
+    results.append(dict(metric="inverse_step_seconds", value=dt, unit="s",
+                        config=f"cornell {size_i}^2 @4spp depth3 PRB"))
+
+    for r in results:
+        r["value"] = round(float(r["value"]), 2)
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,26 +121,26 @@ def cmd_strategies(args):
 
 
 def cmd_scenes(args):
-    """3 strategies x 4 scenes (ky.cpp:4819-4876)."""
-    scenes = [
-        builders.cornell_box(builders.BOTH_SMALL_SPHERES
-                             | {builders.LIGHT_AREA},
-                             width=args.size, height=args.size),
-        builders.cornell_box({builders.LARGE_MIRROR_SPHERE,
-                              builders.LIGHT_AREA},
-                             width=args.size, height=args.size),
-        builders.cornell_box({builders.LARGE_GLASS_SPHERE,
-                              builders.LIGHT_AREA},
-                             width=args.size, height=args.size),
-        builders.smallpt(width=args.size, height=args.size),
+    """3 strategies x 4 lighting variants (render_multiple_scene,
+    ky.cpp:4819-4876): {point x10, direction x40, area x40, environment x10}
+    spp x {bsdf, light, both_mis}, both small spheres in every cell. The
+    per-scene spp factors are the reference's (scaled by --spp / 40)."""
+    variants = [
+        (builders.LIGHT_POINT, 10),
+        (builders.LIGHT_DIRECTION, 40),
+        (builders.LIGHT_AREA, 40),
+        (builders.LIGHT_ENVIRONMENT, 10),
     ]
-    strategies = ["bsdf_mis", "light_mis", "both_mis"]
-    grid = FilmGrid(len(strategies), len(scenes), args.size, args.size)
+    strategies = ["bsdf", "light", "both_mis"]
+    grid = FilmGrid(len(strategies), len(variants), args.size, args.size)
     for s in strategies:
-        for scene in scenes:
+        for flag, spp_ref in variants:
+            scene = builders.cornell_box(
+                builders.BOTH_SMALL_SPHERES | {flag},
+                width=args.size, height=args.size)
             cfg = PathConfig(max_depth=args.depth, strategy=s)
-            grid.place(_render(scene, args.spp, args.seed, cfg,
-                               mesh=args.mesh))
+            spp = max(1, spp_ref * args.spp // 40)
+            grid.place(_render(scene, spp, args.seed, cfg, mesh=args.mesh))
     _save(args.out or "multi_scene.bmp", grid.pixels)
 
 
