@@ -20,3 +20,10 @@ reference C++ path tracer (infancy/ky, see SURVEY.md), re-designed TPU-first:
 __version__ = "0.1.0"
 
 from kytpu.core import math as kmath  # noqa: F401
+
+# primary user-facing surface
+from kytpu.scene import builders  # noqa: F401
+from kytpu.integrator.render import (  # noqa: F401
+    render, render_aov, render_region, debug_area, debug_pixel)
+from kytpu.integrator.path import PathConfig  # noqa: F401
+from kytpu.integrator.fast import FastConfig  # noqa: F401

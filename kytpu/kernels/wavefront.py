@@ -1152,7 +1152,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
 
 def render_pallas(scene, spp: int = 16, seed: int = 1234,
                   cfg: KernelConfig | None = None, clamp: bool = True,
-                  rays_per_pass: int = 1 << 20, interpret: bool = False):
+                  rays_per_pass: int = 1 << 22, interpret: bool = False):
     """Full-frame render through the megakernel -> (H, W, 3) float32.
 
     Camera ray generation + jitter run as (cheap) XLA ops outside the
