@@ -63,16 +63,44 @@ def _f(x):
     return [float(v) for v in np.asarray(x).reshape(-1)]
 
 
+def _dual_basis(e1, e2):
+    """In-plane dual vectors f1, f2 with (a e1 + b e2).f1 == a etc."""
+    e11 = float(np.dot(e1, e1))
+    e22 = float(np.dot(e2, e2))
+    e12 = float(np.dot(e1, e2))
+    det = e11 * e22 - e12 * e12
+    f1 = (e22 * e1 - e12 * e2) / det
+    f2 = (e11 * e2 - e12 * e1) / det
+    return f1, f2
+
+
 def extract_static(scene):
     g = scene.geometry
     planar = []
     for i in range(g.n_planar):
-        planar.append(dict(
-            kind=int(np.asarray(g.pl_kind[i])),
-            p0=_f(g.pl_p0[i]), p1=_f(g.pl_p1[i]), p2=_f(g.pl_p2[i]),
-            p3=_f(g.pl_p3[i]), n=_f(g.pl_normal[i]),
+        kind = int(np.asarray(g.pl_kind[i]))
+        p0 = np.asarray(g.pl_p0[i], np.float64)
+        p1 = np.asarray(g.pl_p1[i], np.float64)
+        p2 = np.asarray(g.pl_p2[i], np.float64)
+        p3 = np.asarray(g.pl_p3[i], np.float64)
+        rec = dict(
+            kind=kind,
+            p0=_f(p0), p1=_f(p1), p2=_f(p2), p3=_f(p3), n=_f(g.pl_normal[i]),
             radius=float(np.asarray(g.pl_radius[i])),
-        ))
+        )
+        # precomputed barycentric/bilinear dual bases (hot-loop fast path);
+        # rects must be parallelograms for the 2D test to equal the
+        # reference's 4-edge-plane quad test
+        if kind == kshapes.TRI:
+            f1, f2 = _dual_basis(p1 - p0, p2 - p0)
+            rec.update(anchor=_f(p0), f1=_f(f1), f2=_f(f2), fast=True)
+        elif kind == kshapes.RECT and \
+                np.allclose(p3, p0 + p2 - p1, rtol=1e-5, atol=1e-7):
+            f1, f2 = _dual_basis(p0 - p1, p2 - p1)
+            rec.update(anchor=_f(p1), f1=_f(f1), f2=_f(f2), fast=True)
+        else:
+            rec.update(fast=False)
+        planar.append(rec)
     spheres = []
     for i in range(g.n_sphere):
         spheres.append(dict(c=_f(g.sp_center[i]),
@@ -164,6 +192,50 @@ def _safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+def _planar_hit(s, o: V3, d: V3):
+    """(t, inside) for one baked planar surface.
+
+    fast path: plane hit + precomputed dual-basis 2D inclusion (~2.4x fewer
+    ops than the 4-cross-product SmallVCM test, same accepted set for
+    triangles and parallelogram rects up to fp rounding)."""
+    nrm = _cv3(s["n"])
+    if s["kind"] == kshapes.DISK:
+        p0 = _cv3(s["p0"])
+        t = _safe_div(nrm.dot(p0 - o), nrm.dot(d), np.float32(np.inf))
+        hp = o + d * t
+        inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
+        return t, inside
+    if s.get("fast"):
+        anchor = _cv3(s["anchor"])
+        t = _safe_div(nrm.dot(anchor - o), nrm.dot(d), np.float32(np.inf))
+        rel = o + d * t - anchor
+        a = rel.dot(_cv3(s["f1"]))
+        b = rel.dot(_cv3(s["f2"]))
+        if s["kind"] == kshapes.TRI:
+            inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
+        else:
+            inside = (a >= 0) & (a <= 1.0) & (b >= 0) & (b <= 1.0)
+        return t, inside
+    p0, p1 = _cv3(s["p0"]), _cv3(s["p1"])
+    p2, p3 = _cv3(s["p2"]), _cv3(s["p3"])
+    oa = p0 - o
+    ob = p1 - o
+    oc = p2 - o
+    od = p3 - o
+    v0d = oc.cross(ob).dot(d)
+    v1d = ob.cross(oa).dot(d)
+    v2d = oa.cross(od).dot(d)
+    v3d = od.cross(oc).dot(d)
+    if s["kind"] == kshapes.TRI:
+        inside = ((v0d < 0) & (v1d < 0) & (v3d < 0)) | \
+                 ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+    else:
+        inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
+                 ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
+    t = _safe_div(nrm.dot(oa), nrm.dot(d), np.float32(np.inf))
+    return t, inside
+
+
 def _closest_hit(static, o: V3, d: V3):
     """Baked-geometry closest hit. Returns (t, sid, valid, normal)."""
     shp = o.x.shape
@@ -172,28 +244,8 @@ def _closest_hit(static, o: V3, d: V3):
     n_best = v3_zeros(o.x)
 
     for row, s in enumerate(static["planar"]):
-        p0, p1 = _cv3(s["p0"]), _cv3(s["p1"])
-        p2, p3 = _cv3(s["p2"]), _cv3(s["p3"])
         nrm = _cv3(s["n"])
-        oa = p0 - o
-        ob = p1 - o
-        oc = p2 - o
-        od = p3 - o
-        v0d = oc.cross(ob).dot(d)
-        v1d = ob.cross(oa).dot(d)
-        v2d = oa.cross(od).dot(d)
-        v3d = od.cross(oc).dot(d)
-        if s["kind"] == kshapes.TRI:
-            inside = ((v0d < 0) & (v1d < 0) & (v3d < 0)) | \
-                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
-        else:
-            inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
-                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
-        denom = nrm.dot(d)
-        t = _safe_div(nrm.dot(oa), denom, np.float32(np.inf))
-        if s["kind"] == kshapes.DISK:
-            hp = o + d * t
-            inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
+        t, inside = _planar_hit(s, o, d)
         accept = inside & (t > km.SHAPE_EPSILON) & (t < t_best)
         n_row = nrm
         if s["kind"] == kshapes.RECT:
@@ -244,27 +296,7 @@ def _any_hit(static, o: V3, d: V3, tmax):
     # i8->i1 truncation for materialized bool vectors
     hit = jnp.zeros_like(tmax) > 0.0
     for s in static["planar"]:
-        p0, p1 = _cv3(s["p0"]), _cv3(s["p1"])
-        p2, p3 = _cv3(s["p2"]), _cv3(s["p3"])
-        nrm = _cv3(s["n"])
-        oa = p0 - o
-        ob = p1 - o
-        oc = p2 - o
-        od = p3 - o
-        v0d = oc.cross(ob).dot(d)
-        v1d = ob.cross(oa).dot(d)
-        v2d = oa.cross(od).dot(d)
-        v3d = od.cross(oc).dot(d)
-        if s["kind"] == kshapes.TRI:
-            inside = ((v0d < 0) & (v1d < 0) & (v3d < 0)) | \
-                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
-        else:
-            inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
-                     ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
-        t = _safe_div(nrm.dot(oa), nrm.dot(d), np.float32(np.inf))
-        if s["kind"] == kshapes.DISK:
-            hp = o + d * t
-            inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
+        t, inside = _planar_hit(s, o, d)
         hit = hit | (inside & (t > km.SHAPE_EPSILON) & (t < tmax))
     for s in static["spheres"]:
         c = _cv3(s["c"])
