@@ -49,3 +49,27 @@ def test_render_timer():
     assert set(t.phases) == {"intersect", "shade"}
     assert t.rays == 200
     assert "total" in t.report()
+
+
+def test_checks_validate_radiance():
+    from kytpu.utils import checks
+    checks.validate_radiance(np.ones((4, 4, 3)))
+    import pytest
+    with pytest.raises(FloatingPointError):
+        checks.validate_radiance(np.array([[np.nan, 1.0, 2.0]]))
+    with pytest.raises(ValueError):
+        checks.validate_radiance(np.array([[-1.0, 1.0, 2.0]]))
+
+
+def test_checks_checked_in_jit():
+    import jax
+    import jax.numpy as jnp
+    from kytpu.utils import checks
+    checks.enable(True)
+    try:
+        @jax.jit
+        def f(x):
+            return checks.checked(x * 2.0, "x2")
+        assert float(f(jnp.ones(4)).sum()) == 8.0
+    finally:
+        checks.enable(False)
