@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--target-spp", type=int, default=32,
+                   help="spp of the synthetic target; too low and the "
+                        "optimizer chases target noise")
+    p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=20)
     p.add_argument("--mesh", type=lambda s: tuple(map(int, s.split(","))),
@@ -41,9 +45,9 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     timer = RenderTimer()
-    with timer.phase("target", rays=args.size**2 * 2):
+    with timer.phase("target", rays=args.size**2 * args.target_spp):
         target = jax.lax.stop_gradient(
-            render_once(scene, key, spp=2, cfg=cfg))
+            render_once(scene, key, spp=args.target_spp, cfg=cfg))
 
     true = get_params(scene)
     rng = np.random.default_rng(args.seed)
@@ -62,8 +66,10 @@ def main(argv=None):
         from kytpu.dist import make_mesh
         mesh = make_mesh(shape=args.mesh)
 
+    import optax
     step, params, opt_state = make_train_step(
-        scene_w, target, spp=args.spp, cfg=cfg, mesh=mesh)
+        scene_w, target, spp=args.spp, cfg=cfg, mesh=mesh,
+        optimizer=optax.adam(args.lr))
 
     rays_per_step = args.size**2 * args.spp
     for i in range(args.steps):

@@ -52,6 +52,7 @@ class KernelConfig:
     max_depth: int = 5
     rr_start: int = 3
     rows: int = 64          # lanes per tile = rows * 128
+    nee: str = "all"        # "all" lights per vertex | "single" uniform pick
 
 
 # ---------------------------------------------------------------------------
@@ -503,8 +504,8 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         dr = _cv3(lt["direction"])
         wi = v3_full(u1, -dr.x, -dr.y, -dr.z)
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        li = V3(jnp.full_like(u1, emit.x), jnp.full_like(u1, emit.y),
-                jnp.full_like(u1, emit.z))
+        ones = jnp.ones_like(u1)
+        li = V3(emit.x * ones, emit.y * ones, emit.z * ones)
         return wi, jnp.ones_like(u1), li, dist
 
     if kind == klights.AREA_RECT:
@@ -592,8 +593,8 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
                         np.float32(1.0 / (2.0 * np.pi * np.pi))
                         / jnp.maximum(sin_theta, 1e-20))
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        li = V3(jnp.full_like(u1, emit.x), jnp.full_like(u1, emit.y),
-                jnp.full_like(u1, emit.z))
+        ones = jnp.ones_like(u1)
+        li = V3(emit.x * ones, emit.y * ones, emit.z * ones)
         return wi, pdf, li, dist
 
     raise ValueError(f"unknown light kind {kind}")
@@ -838,10 +839,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             wo_l = to_local(s_f, t_f, n_f, wo)
 
             # ---- light-side NEE ----
-            ld = v3_zeros(o.x)
-            for i, lt in enumerate(lights):
-                u1 = rng.uniform(shp)
-                u2 = rng.uniform(shp)
+            # one (sample, eval, shadow, accumulate) block for light i; the
+            # per-light balance weights stay valid under single-light
+            # selection because each light's light/bsdf weight pair sums to
+            # 1 independently (see docs/DESIGN.md)
+            def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
+                nonlocal acc_e, acc_d, acc_s
                 emit_l = V3(light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
@@ -859,8 +862,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     & ~f_cos.is_black()
                 occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
                                dist - km.SHADOW_EPSILON)
-                okf = jnp.where(ok & ~occ, w, 0.0)
-                ld = ld + f_cos * li_v * okf
+                okf = jnp.where(ok & ~occ, w * sel_scale, 0.0)
+                if sel_mask_scalar is not None:
+                    okf = okf * sel_mask_scalar
+                contrib = f_cos * li_v * okf
 
                 if grad:
                     gb = g * beta
@@ -884,6 +889,87 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                             V3(jnp.where(to_spec, 0.0, addc.x),
                                jnp.where(to_spec, 0.0, addc.y),
                                jnp.where(to_spec, 0.0, addc.z)))
+                return contrib
+
+            ld = v3_zeros(o.x)
+            if cfg.nee == "single" and L > 1:
+                # one uniformly-chosen light per (tile, bounce), compensated
+                # by L. The scalar pick keeps all SIMD lanes coherent, and
+                # lax.switch runs ONLY the chosen light's sampler; the
+                # (heavier) BSDF eval + occlusion sweep + adjoints run once
+                # on the switch outputs.
+                u1 = rng.uniform(shp)
+                u2 = rng.uniform(shp)
+                c = tile_seed + np.int32(bounce) * np.int32(668265263)
+                c = c ^ jax.lax.shift_right_logical(c, jnp.int32(16))
+                c = c * np.int32(-2048144789)   # 0x85ebca6b
+                c = c ^ jax.lax.shift_right_logical(c, jnp.int32(13))
+                pick = jax.lax.rem(c & np.int32(0x7fffffff), np.int32(L))
+
+                def mk_branch(i, lt):
+                    def br(u1, u2):
+                        emit_l = V3(
+                            light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
+                            light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
+                            light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
+                        wi, pdf_l, li_v, dist = _light_sample(
+                            lt, emit_l, world_radius, hp, nrm, u1, u2)
+                        is_delta_l = np.float32(
+                            1.0 if lt["kind"] in (klights.POINT,
+                                                  klights.DIRECTION) else 0.0)
+                        return (wi.x, wi.y, wi.z, pdf_l,
+                                li_v.x, li_v.y, li_v.z, dist,
+                                jnp.full(shp, is_delta_l))
+                    return br
+
+                outs = jax.lax.switch(
+                    pick, [mk_branch(i, lt) for i, lt in enumerate(lights)],
+                    u1, u2)
+                wi = V3(outs[0], outs[1], outs[2])
+                pdf_l = outs[3]
+                li_v = V3(outs[4], outs[5], outs[6])
+                dist = outs[7]
+                is_delta_l = outs[8] > 0.5
+                wi_l = to_local(s_f, t_f, n_f, wi)
+                f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
+                                                      wo_l, wi_l)
+                f_cos = f_e * jnp.abs(wi_l.z)
+                w = jnp.where(is_delta_l,
+                              _safe_div(np.float32(1.0), pdf_l),
+                              _safe_div(np.float32(1.0), pdf_l + pdf_b))
+                ok = nee_act & (pdf_l > 0.0) & ~li_v.is_black() \
+                    & ~f_cos.is_black()
+                occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
+                               dist - km.SHADOW_EPSILON)
+                okf = jnp.where(ok & ~occ, w * np.float32(L), 0.0)
+                ld = f_cos * li_v * okf
+
+                if grad:
+                    gb = g * beta
+                    add = gb * f_cos * okf
+                    for i in range(L):
+                        if i in light_row:
+                            selm = (pick == i).astype(jnp.float32)
+                            r = light_row[i]
+                            acc_e[r] = V3(acc_e[r].x + add.x * selm,
+                                          acc_e[r].y + add.y * selm,
+                                          acc_e[r].z + add.z * selm)
+                    coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
+                    addc = gb * li_v * coeff
+                    to_spec = lobe_is_phong
+                    row_add(acc_s, None, sid,
+                            V3(jnp.where(to_spec, addc.x, 0.0),
+                               jnp.where(to_spec, addc.y, 0.0),
+                               jnp.where(to_spec, addc.z, 0.0)))
+                    row_add(acc_d, None, sid,
+                            V3(jnp.where(to_spec, 0.0, addc.x),
+                               jnp.where(to_spec, 0.0, addc.y),
+                               jnp.where(to_spec, 0.0, addc.z)))
+            else:
+                for i, lt in enumerate(lights):
+                    u1 = rng.uniform(shp)
+                    u2 = rng.uniform(shp)
+                    ld = ld + nee_light(i, lt, u1, u2, np.float32(1.0))
             big_l = big_l + beta * ld
             e_term = e_term + ld
 

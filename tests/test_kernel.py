@@ -232,3 +232,17 @@ def test_pallas_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
     assert losses[-1] < losses[0], losses
+
+
+def test_single_light_nee_matches_all():
+    """nee="single" (uniform pick x L compensation) converges to nee="all"."""
+    scene = builders.veach_mis(width=24, height=15)
+    a = np.asarray(wf.render_pallas(
+        scene, spp=48, seed=3, cfg=wf.KernelConfig(max_depth=3, rows=8),
+        interpret=True, clamp=False))
+    s = np.asarray(wf.render_pallas(
+        scene, spp=48, seed=7,
+        cfg=wf.KernelConfig(max_depth=3, rows=8, nee="single"),
+        interpret=True, clamp=False))
+    assert abs(a.mean() - s.mean()) / a.mean() < 0.25  # MC tolerance
+    assert np.isfinite(s).all()
