@@ -30,10 +30,19 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--target-spp", type=int, default=32,
-                   help="spp of the synthetic target; too low and the "
-                        "optimizer chases target noise")
-    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--target-spp", type=int, default=None,
+                   help="spp of the synthetic target (defaults to --spp "
+                        "for common-random-numbers mode, 32 with "
+                        "--resample)")
+    p.add_argument("--lr", type=float, default=2e-2)
+    p.add_argument("--recover-emission", action="store_true",
+                   help="also halve+recover emission (harder: brightness "
+                        "is partially ambiguous between albedo and "
+                        "emission at low resolution)")
+    p.add_argument("--resample", action="store_true",
+                   help="draw fresh sample paths every step (default keeps "
+                        "common random numbers, the standard "
+                        "variance-reduction for inverse rendering)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=20)
     p.add_argument("--mesh", type=lambda s: tuple(map(int, s.split(","))),
@@ -44,20 +53,26 @@ def main(argv=None):
     scene = builders.cornell_box(width=args.size, height=args.size)
     key = jax.random.key(args.seed)
 
+    target_spp = args.target_spp or (32 if args.resample else args.spp)
     timer = RenderTimer()
-    with timer.phase("target", rays=args.size**2 * args.target_spp):
+    with timer.phase("target", rays=args.size**2 * target_spp):
         target = jax.lax.stop_gradient(
-            render_once(scene, key, spp=args.target_spp, cfg=cfg))
+            render_once(scene, key, spp=target_spp, cfg=cfg))
 
     true = get_params(scene)
     rng = np.random.default_rng(args.seed)
+    # Perturb albedos (and optionally emission — magnitudes ~25, so it
+    # gets a proportionally larger adam learning rate; adam steps are
+    # unit-scaled per parameter and a shared lr could never close a
+    # 12-unit gap).
     wrong = {
         "mat_diffuse": jnp.asarray(
             np.clip(np.asarray(true["mat_diffuse"])
                     * rng.uniform(0.3, 1.6, true["mat_diffuse"].shape), 0, 1),
             jnp.float32),
         "mat_specular": true["mat_specular"],
-        "emission": true["emission"] * 0.5,
+        "emission": (true["emission"] * 0.5 if args.recover_emission
+                     else true["emission"]),
     }
     scene_w = set_params(scene, wrong)
 
@@ -67,15 +82,21 @@ def main(argv=None):
         mesh = make_mesh(shape=args.mesh)
 
     import optax
+    emission_scale = float(np.asarray(true["emission"]).max()) or 1.0
+    optimizer = optax.multi_transform(
+        {"color": optax.adam(args.lr),
+         "emission": optax.adam(args.lr * emission_scale)},
+        {"mat_diffuse": "color", "mat_specular": "color",
+         "emission": "emission"})
     step, params, opt_state = make_train_step(
         scene_w, target, spp=args.spp, cfg=cfg, mesh=mesh,
-        optimizer=optax.adam(args.lr))
+        optimizer=optimizer)
 
     rays_per_step = args.size**2 * args.spp
     for i in range(args.steps):
+        step_key = jax.random.fold_in(key, 1 + i) if args.resample else key
         with timer.phase("optimize", rays=rays_per_step):
-            params, opt_state, loss = step(params, opt_state,
-                                           jax.random.fold_in(key, 1 + i))
+            params, opt_state, loss = step(params, opt_state, step_key)
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(loss):.6f}")
         if args.checkpoint and (i + 1) % args.checkpoint_every == 0:

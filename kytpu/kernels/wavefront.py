@@ -900,7 +900,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 # on the switch outputs.
                 u1 = rng.uniform(shp)
                 u2 = rng.uniform(shp)
-                c = tile_seed + np.int32(bounce) * np.int32(668265263)
+                c = tile_seed + np.int32((bounce * 668265263) & 0x7fffffff)
                 c = c ^ jax.lax.shift_right_logical(c, jnp.int32(16))
                 c = c * np.int32(-2048144789)   # 0x85ebca6b
                 c = c ^ jax.lax.shift_right_logical(c, jnp.int32(13))
