@@ -17,10 +17,14 @@ counts PRIMARY rays; every primary ray carries the full path workload
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"))
 
 TARGET_RAYS_PER_S = 50e6
 LANES = 1 << 22   # large batches amortize the per-launch overhead

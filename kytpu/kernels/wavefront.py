@@ -22,9 +22,15 @@ Design (see /opt/skills/guides/pallas_guide.md):
 
 The estimator is the same single-sample-MIS transport as fast.py (emission
 MIS-weighted against the light pdf of the ray that found it; light-side NEE
-per light; iteration-rule Russian roulette), so the kernel converges to the
-same image; only the RNG stream differs. tests/test_kernel.py checks both
+per light, or one uniformly-picked light with KernelConfig(nee="single");
+iteration-rule Russian roulette), so the kernel converges to the same
+image; only the RNG stream differs. tests/test_kernel.py checks both
 against each other and the interpreter against the TPU path.
+
+Measured on TPU v5e (Veach MIS, depth 5, 4M-lane passes): 56.3 Mrays/s
+forward (82.6 with nee="single"), 30.9 Mrays/s forward+backward through the
+path-replay VJP — vs 0.65 / 0.44 for the XLA op-by-op reference-parity
+estimator.
 """
 
 from __future__ import annotations
