@@ -246,3 +246,37 @@ def test_single_light_nee_matches_all():
         interpret=True, clamp=False))
     assert abs(a.mean() - s.mean()) / a.mean() < 0.25  # MC tolerance
     assert np.isfinite(s).all()
+
+
+def test_prb_gradients_env_scene():
+    """PRB replay handles the environment-light branch (tail subtraction
+    includes the env term even though env radiance itself is untrainable)."""
+    flags = builders.BOTH_SMALL_SPHERES | {builders.LIGHT_ENVIRONMENT,
+                                           builders.LIGHT_AREA}
+    scene = builders.cornell_box(flags, width=8, height=8)
+    cfg = wf.KernelConfig(max_depth=2, rows=8)
+    tracer = wf.make_pallas_diff_tracer(scene, cfg, interpret=True)
+
+    n = 64
+    key = jax.random.key(2)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(9)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+
+    def loss(diffuse, specular, emission):
+        return jnp.mean(tracer(diffuse, specular, emission, o, d, seed))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(*p0)
+    eps = 1e-2
+    for argi, idx in [(0, (0, 0)), (0, (4, 2))]:
+        ap = list(p0); am = list(p0)
+        ap[argi] = p0[argi].at[idx].add(eps)
+        am[argi] = p0[argi].at[idx].add(-eps)
+        fd = (float(loss(*ap)) - float(loss(*am))) / (2 * eps)
+        ad = float(g[argi][idx])
+        assert np.isfinite(ad) and np.isfinite(fd)
+        assert abs(ad - fd) <= 5e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
