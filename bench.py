@@ -46,15 +46,20 @@ def _rays(scene, n):
 def _bench_kernel(scene):
     from kytpu.kernels import wavefront as wf
 
+    # rows=16 keeps the backward pass's per-row adjoint accumulator planes
+    # inside VMEM (rows=64 spills: 31 -> 35 Mrays/s measured)
     tracer = wf.make_pallas_diff_tracer(scene, wf.KernelConfig(max_depth=5,
-                                                               rows=64))
+                                                               rows=16))
     o, d = _rays(scene, LANES)
     jax.block_until_ready((o, d))
+
+    env0 = (scene.env_radiance_ if scene.has_env
+            else jnp.zeros(3, jnp.float32))
 
     @jax.jit
     def fwd_bwd(diffuse, specular, emission, seed):
         def loss(dd, ss, ee):
-            return jnp.sum(tracer(dd, ss, ee, o, d, seed)) / LANES
+            return jnp.sum(tracer(dd, ss, ee, env0, o, d, seed)) / LANES
         return jax.value_and_grad(loss, argnums=(0, 1, 2))(
             diffuse, specular, emission)
 

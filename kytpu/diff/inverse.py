@@ -111,13 +111,17 @@ def make_train_step(scene, target, spp: int = 4,
         py0 = (pid // w).astype(jnp.float32)
         cam = scene.camera
 
+        env0 = (scene.env_radiance_ if scene.has_env
+                else jnp.zeros(3, jnp.float32))
+
         def loss_of(params, key):
             u = jax.random.uniform(key, (spp * npix, 2))
             o, d = kscene_mod.generate_rays(
                 cam, jnp.stack([px0 + u[:, 0], py0 + u[:, 1]], -1))
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
             out = tracer(params["mat_diffuse"], params["mat_specular"],
-                         params["emission"], o, d, seed)
+                         params["emission"],
+                         params.get("env_radiance_", env0), o, d, seed)
             img = out.reshape(spp, h, w, 3).mean(axis=0)
             return loss_fn(img, target)
     elif mesh is None:

@@ -120,6 +120,20 @@ def extract_static(scene):
         s_prob=[float(v) for v in np.asarray(scene.mat_s_prob)],
         light_index=[int(v) for v in np.asarray(scene.light_index)],
     )
+    # which BSDF lobes this scene can ever evaluate: material kinds are
+    # static per surface row, so absent lobes are pruned from the compiled
+    # kernel (the same "compiled scene" specialization as the baked geometry)
+    mk = set(mats["kind"])
+    lobes = set()
+    if kbsdf.MAT_MATTE in mk or kbsdf.MAT_PLASTIC in mk:
+        lobes.add(kbsdf.LAMBERT)
+    if kbsdf.MAT_PLASTIC in mk:
+        lobes.add(kbsdf.PHONG)
+    if kbsdf.MAT_MIRROR in mk:
+        lobes.add(kbsdf.MIRROR)
+    if kbsdf.MAT_GLASS in mk:
+        lobes.add(kbsdf.GLASS)
+    mats["lobes"] = frozenset(lobes)
     li = scene.lights
     lights = []
     for i, kind in enumerate(li.kinds):
@@ -131,6 +145,14 @@ def extract_static(scene):
             area=float(np.asarray(li.area[i])),
             center=_f(li.center[i]), radius=float(np.asarray(li.radius[i])),
         ))
+    # NB a sphere light's own shape MUST stay in its NEE occlusion sweep:
+    # the reference measures the shadow-ray distance from the UNOFFSET
+    # shading point but traces from the offset origin (ky.cpp:3193 + 614),
+    # so the sampled sphere itself re-enters the ray's [eps, dist-2e-3]
+    # window whenever 1e-2*cos(theta) > 2e-3 — i.e. the reference
+    # self-occludes ~70% of cone-sampled sphere NEE, and every engine here
+    # replicates that for pixel parity (measured: "fixing" it brightens
+    # veach by ~50%).
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
                 has_env=scene.has_env)
@@ -199,22 +221,51 @@ def _safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+def _ipow(x, n: int):
+    """x**n (static integer n >= 1) by square-and-multiply: ~log2(n) muls
+    instead of the VPU's multi-pass exp/log pow. Relative rounding error is
+    ~popcount+log2(n) ulps (~2e-6 for n=5000), far inside MC tolerance."""
+    r = None
+    while n:
+        if n & 1:
+            r = x if r is None else r * x
+        n >>= 1
+        if n:
+            x = x * x
+    return r
+
+
+def _static_exponent(mats):
+    """The single static integer Phong exponent shared by every glossy
+    surface, or None (mixed/fractional exponents fall back to jnp.power)."""
+    vals = {float(v) for v in mats["exponent"] if float(v) != 0.0}
+    if len(vals) == 1:
+        e = vals.pop()
+        if e.is_integer() and 1.0 <= e <= 1e6:
+            return e
+    return None
+
+
 def _planar_hit(s, o: V3, d: V3):
     """(t, inside) for one baked planar surface.
 
     fast path: plane hit + precomputed dual-basis 2D inclusion (~2.4x fewer
     ops than the 4-cross-product SmallVCM test, same accepted set for
-    triangles and parallelogram rects up to fp rounding)."""
+    triangles and parallelogram rects up to fp rounding).
+
+    Division is raw (not _safe_div): a parallel ray gives t = ±inf/nan, and
+    every caller gates on `inside & (eps < t < tmax)`, which inf/nan
+    comparisons reject — the guard would only add VPU passes."""
     nrm = _cv3(s["n"])
     if s["kind"] == kshapes.DISK:
         p0 = _cv3(s["p0"])
-        t = _safe_div(nrm.dot(p0 - o), nrm.dot(d), np.float32(np.inf))
+        t = nrm.dot(p0 - o) / nrm.dot(d)
         hp = o + d * t
         inside = (hp - p0).length_squared() <= np.float32(s["radius"] ** 2)
         return t, inside
     if s.get("fast"):
         anchor = _cv3(s["anchor"])
-        t = _safe_div(nrm.dot(anchor - o), nrm.dot(d), np.float32(np.inf))
+        t = nrm.dot(anchor - o) / nrm.dot(d)
         rel = o + d * t - anchor
         a = rel.dot(_cv3(s["f1"]))
         b = rel.dot(_cv3(s["f2"]))
@@ -239,7 +290,7 @@ def _planar_hit(s, o: V3, d: V3):
     else:
         inside = ((v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)) | \
                  ((v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0))
-    t = _safe_div(nrm.dot(oa), nrm.dot(d), np.float32(np.inf))
+    t = nrm.dot(oa) / nrm.dot(d)
     return t, inside
 
 
@@ -280,7 +331,7 @@ def _closest_hit(static, o: V3, d: V3):
         cc = oc.length_squared() - r * r
         sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
         q = neg_b + sgn * sq
-        tq = _safe_div(cc, q)
+        tq = cc / q        # raw div: q==0 -> inf/nan, rejected by the gates
         t1 = jnp.minimum(q, tq)
         t2 = jnp.maximum(q, tq)
         t1_ok = t1 > km.SHAPE_EPSILON
@@ -297,15 +348,25 @@ def _closest_hit(static, o: V3, d: V3):
     return t_best, sid, valid, n_best
 
 
-def _any_hit(static, o: V3, d: V3, tmax):
-    """Baked-geometry occlusion test in (SHAPE_EPSILON, tmax)."""
+def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None):
+    """Baked-geometry occlusion test in (SHAPE_EPSILON, tmax).
+
+    Boolean-only: the sphere test needs no stable-quadratic division — a
+    boundary crossing in range means root t1 or t2 = neg_b -+ sq lies in
+    (eps, tmax), the reference's two-root gate (ky.cpp:1375-1382). The
+    cancellation error of the naive small root is ~1e-4 relative, absorbed
+    by the shadow epsilons. skip_sphere omits a sphere-light's own geometry
+    (see extract_static).
+    """
     # mask born from a compare (not a bool literal tensor): Mosaic has no
     # i8->i1 truncation for materialized bool vectors
     hit = jnp.zeros_like(tmax) > 0.0
     for s in static["planar"]:
         t, inside = _planar_hit(s, o, d)
         hit = hit | (inside & (t > km.SHAPE_EPSILON) & (t < tmax))
-    for s in static["spheres"]:
+    for j, s in enumerate(static["spheres"]):
+        if j == skip_sphere:
+            continue
         c = _cv3(s["c"])
         r = np.float32(s["r"])
         oc = c - o
@@ -313,15 +374,11 @@ def _any_hit(static, o: V3, d: V3, tmax):
         perp = oc - d * neg_b
         discr = r * r - perp.length_squared()
         sq = _safe_sqrt(discr)
-        cc = oc.length_squared() - r * r
-        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
-        q = neg_b + sgn * sq
-        tq = _safe_div(cc, q)
-        t1 = jnp.minimum(q, tq)
-        t2 = jnp.maximum(q, tq)
-        ok1 = (t1 > km.SHAPE_EPSILON) & (t1 < tmax)
-        ok2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
-        hit = hit | ((discr >= 0) & (ok1 | ok2))
+        t1 = neg_b - sq
+        t2 = neg_b + sq
+        in1 = (t1 > km.SHAPE_EPSILON) & (t1 < tmax)
+        in2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
+        hit = hit | ((discr >= 0) & (in1 | in2))
     return hit
 
 
@@ -335,11 +392,15 @@ def _select_rows(sid, rows, values):
 
 
 def _select_table3(sid, table_ref, m_rows):
-    """V3 gather-free select from an SMEM (M, 3) table by sid plane."""
+    """V3 gather-free select from an SMEM (M, 3) table by sid plane.
+
+    m_rows is a row count or an iterable of the rows whose value can ever
+    be consumed downstream (statically known from the material kinds)."""
+    rows = range(m_rows) if isinstance(m_rows, int) else m_rows
     x = jnp.zeros(sid.shape, jnp.float32)
     y = jnp.zeros(sid.shape, jnp.float32)
     z = jnp.zeros(sid.shape, jnp.float32)
-    for m in range(m_rows):
+    for m in rows:
         mask = sid == m
         x = jnp.where(mask, table_ref[m, 0], x)
         y = jnp.where(mask, table_ref[m, 1], y)
@@ -386,109 +447,158 @@ def _concentric_disk(u1, u2):
     return px, py
 
 
-def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2):
-    """Local-frame sample of all 4 models + select (bsdf.py:174-238).
+def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2,
+                 lobes=frozenset((kbsdf.LAMBERT, kbsdf.MIRROR, kbsdf.GLASS,
+                                  kbsdf.PHONG)), static_exp=None):
+    """Local-frame sample of the 4 models + select (bsdf.py:174-238).
 
-    Returns (f: V3, wi: V3, pdf, delta_mask, f_unit, glass_refract) where
+    Only lobes in `lobes` (the material kinds statically present in the
+    scene) are compiled; u1/u2 are drawn by the caller so the RNG stream is
+    independent of the pruning. Returns
+    (f: V3, wi: V3, pdf, delta_mask, f_unit, glass_refract) where
     f == (glass_refract ? color2 : color) * f_unit — the linear-in-color
     factorization the path-replay backward needs.
     """
     mirror_wi = V3(-wo.x, -wo.y, wo.z)
+    # (wi, f, pdf, f_unit) per present lobe, selected by the kind plane
+    cand = {}
 
-    # Lambert
-    px, py = _concentric_disk(u1, u2)
-    lz = _safe_sqrt(1.0 - px * px - py * py)
-    wi_lam = V3(px, py, jnp.where(wo.z < 0, -lz, lz))
-    same_lam = wo.z * wi_lam.z > 0
-    f_lam = color * (np.float32(km.INV_PI))
-    f_lam = f_lam.where(same_lam, v3_zeros(wo.x))
-    pdf_lam = jnp.where(same_lam, jnp.abs(wi_lam.z) * np.float32(km.INV_PI), 0.0)
+    if kbsdf.LAMBERT in lobes:
+        px, py = _concentric_disk(u1, u2)
+        lz = _safe_sqrt(1.0 - px * px - py * py)
+        wi_lam = V3(px, py, jnp.where(wo.z < 0, -lz, lz))
+        same_lam = wo.z * wi_lam.z > 0
+        f_lam = color * (np.float32(km.INV_PI))
+        f_lam = f_lam.where(same_lam, v3_zeros(wo.x))
+        pdf_lam = jnp.where(same_lam,
+                            jnp.abs(wi_lam.z) * np.float32(km.INV_PI), 0.0)
+        unit_lam = jnp.where(same_lam, np.float32(km.INV_PI), 0.0)
+        cand[kbsdf.LAMBERT] = (wi_lam, f_lam, pdf_lam, unit_lam)
 
-    # mirror
-    abs_cos_m = jnp.maximum(jnp.abs(mirror_wi.z), 1e-12)
-    f_mir = color * (1.0 / abs_cos_m)
-    pdf_mir = jnp.ones_like(u1)
+    if kbsdf.MIRROR in lobes:
+        abs_cos_m = jnp.maximum(jnp.abs(mirror_wi.z), 1e-12)
+        f_mir = color * (1.0 / abs_cos_m)
+        cand[kbsdf.MIRROR] = (mirror_wi, f_mir, jnp.ones_like(u1),
+                              1.0 / abs_cos_m)
 
-    # glass
-    fr = _fresnel_dielectric(wo.z, eta)
-    take_refl = u1 < fr
-    into = wo.z > 0
-    nz = jnp.where(into, np.float32(1.0), np.float32(-1.0))
-    n_loc = V3(jnp.zeros_like(nz), jnp.zeros_like(nz), nz)
-    eta_ratio = jnp.where(into, 1.0 / eta, eta)
-    cos_i = n_loc.dot(wo)
-    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-    sin2_t = eta_ratio * eta_ratio * sin2_i
-    refr_ok = sin2_t < 1.0
-    cos_t = _safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
-    wt = (-wo) * eta_ratio + n_loc * (eta_ratio * cos_i - cos_t)
-    wi_gl = mirror_wi.where(take_refl, wt)
-    abs_cos_g = jnp.maximum(jnp.abs(wi_gl.z), 1e-12)
-    f_gl = (color * (fr / abs_cos_g)).where(
-        take_refl, (color2 * ((1.0 - fr) / abs_cos_g)).where(
-            refr_ok, v3_zeros(wo.x)))
-    pdf_gl = jnp.where(take_refl, fr, jnp.where(refr_ok, 1.0 - fr, 0.0))
+    take_refl = None
+    if kbsdf.GLASS in lobes:
+        fr = _fresnel_dielectric(wo.z, eta)
+        take_refl = u1 < fr
+        into = wo.z > 0
+        nz = jnp.where(into, np.float32(1.0), np.float32(-1.0))
+        n_loc = V3(jnp.zeros_like(nz), jnp.zeros_like(nz), nz)
+        eta_ratio = jnp.where(into, 1.0 / eta, eta)
+        cos_i = n_loc.dot(wo)
+        sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+        sin2_t = eta_ratio * eta_ratio * sin2_i
+        refr_ok = sin2_t < 1.0
+        cos_t = _safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
+        wt = (-wo) * eta_ratio + n_loc * (eta_ratio * cos_i - cos_t)
+        wi_gl = mirror_wi.where(take_refl, wt)
+        abs_cos_g = jnp.maximum(jnp.abs(wi_gl.z), 1e-12)
+        unit_gl = jnp.where(take_refl, fr / abs_cos_g,
+                            jnp.where(refr_ok, (1.0 - fr) / abs_cos_g, 0.0))
+        f_gl = (color * (fr / abs_cos_g)).where(
+            take_refl, (color2 * ((1.0 - fr) / abs_cos_g)).where(
+                refr_ok, v3_zeros(wo.x)))
+        pdf_gl = jnp.where(take_refl, fr, jnp.where(refr_ok, 1.0 - fr, 0.0))
+        cand[kbsdf.GLASS] = (wi_gl, f_gl, pdf_gl, unit_gl)
 
-    # phong
-    phi = np.float32(km.TWO_PI) * u1
-    cos_t_p = jnp.power(u2, 1.0 / (exponent + 1.0))
-    sin_t_p = _safe_sqrt(1.0 - cos_t_p * cos_t_p)
-    lobe = V3(jnp.cos(phi) * sin_t_p, jnp.sin(phi) * sin_t_p, cos_t_p)
-    s_f, t_f, n_f = make_frame(mirror_wi)
-    wi_ph = to_world(s_f, t_f, n_f, lobe)
-    wi_ph = V3(wi_ph.x, wi_ph.y, jnp.where(wo.z < 0, -wi_ph.z, wi_ph.z))
-    cos_alpha = jnp.maximum(mirror_wi.dot(wi_ph), 0.0)
-    same_ph = wo.z * wi_ph.z > 0
-    ph_val = (exponent + 2.0) * np.float32(km.INV_2PI) \
-        * jnp.power(cos_alpha, exponent)
-    ph_val = jnp.where(same_ph, ph_val, 0.0)
-    f_ph = color * ph_val
-    pdf_ph = (exponent + 1.0) * jnp.power(cos_alpha, exponent) \
-        * np.float32(km.INV_2PI)
+    if kbsdf.PHONG in lobes:
+        phi = np.float32(km.TWO_PI) * u1
+        if static_exp is not None:
+            cos_t_p = jnp.power(u2, np.float32(1.0 / (static_exp + 1.0)))
+        else:
+            cos_t_p = jnp.power(u2, 1.0 / (exponent + 1.0))
+        sin_t_p = _safe_sqrt(1.0 - cos_t_p * cos_t_p)
+        lobe = V3(jnp.cos(phi) * sin_t_p, jnp.sin(phi) * sin_t_p, cos_t_p)
+        s_f, t_f, n_f = make_frame(mirror_wi)
+        wi_ph = to_world(s_f, t_f, n_f, lobe)
+        wi_ph = V3(wi_ph.x, wi_ph.y, jnp.where(wo.z < 0, -wi_ph.z, wi_ph.z))
+        cos_alpha = jnp.maximum(mirror_wi.dot(wi_ph), 0.0)
+        same_ph = wo.z * wi_ph.z > 0
+        if static_exp is not None:
+            powa = _ipow(cos_alpha, int(static_exp))
+            e2 = np.float32((static_exp + 2.0) * km.INV_2PI)
+            e1 = np.float32((static_exp + 1.0) * km.INV_2PI)
+        else:
+            powa = jnp.power(cos_alpha, exponent)
+            e2 = (exponent + 2.0) * np.float32(km.INV_2PI)
+            e1 = (exponent + 1.0) * np.float32(km.INV_2PI)
+        ph_val = jnp.where(same_ph, e2 * powa, 0.0)
+        pdf_ph = e1 * powa
+        cand[kbsdf.PHONG] = (wi_ph, color * ph_val, pdf_ph, ph_val)
 
-    is_lam = kind == kbsdf.LAMBERT
-    is_mir = kind == kbsdf.MIRROR
-    is_gls = kind == kbsdf.GLASS
-    wi = wi_lam.where(is_lam, mirror_wi.where(is_mir, wi_gl.where(is_gls, wi_ph)))
-    f = f_lam.where(is_lam, f_mir.where(is_mir, f_gl.where(is_gls, f_ph)))
-    pdf = jnp.where(is_lam, pdf_lam,
-                    jnp.where(is_mir, pdf_mir,
-                              jnp.where(is_gls, pdf_gl, pdf_ph)))
+    order = [k for k in (kbsdf.LAMBERT, kbsdf.MIRROR, kbsdf.GLASS,
+                         kbsdf.PHONG) if k in cand]
+    wi, f, pdf, f_unit = cand[order[-1]]
+    for k in reversed(order[:-1]):
+        is_k = kind == k
+        wi_k, f_k, pdf_k, unit_k = cand[k]
+        wi = wi_k.where(is_k, wi)
+        f = f_k.where(is_k, f)
+        pdf = jnp.where(is_k, pdf_k, pdf)
+        f_unit = jnp.where(is_k, unit_k, f_unit)
+
+    false_mask = u1 < -1.0   # statically-absent lobes: mask from a compare
+    is_gls = (kind == kbsdf.GLASS) if kbsdf.GLASS in cand else false_mask
+    is_mir = (kind == kbsdf.MIRROR) if kbsdf.MIRROR in cand else false_mask
     delta = is_mir | is_gls
-    unit_lam = jnp.where(same_lam, np.float32(km.INV_PI), 0.0)
-    unit_gl = jnp.where(take_refl, fr / abs_cos_g,
-                        jnp.where(refr_ok, (1.0 - fr) / abs_cos_g, 0.0))
-    f_unit = jnp.where(is_lam, unit_lam,
-                       jnp.where(is_mir, 1.0 / abs_cos_m,
-                                 jnp.where(is_gls, unit_gl, ph_val)))
-    glass_refract = is_gls & ~take_refl
+    glass_refract = (is_gls & ~take_refl) if take_refl is not None \
+        else false_mask
     return f, wi, pdf, delta, f_unit, glass_refract
 
 
-def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3):
+def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3,
+                   lobes=frozenset((kbsdf.LAMBERT, kbsdf.PHONG)),
+                   static_exp=None):
     """Local-frame eval + pdf for the non-delta lobes (bsdf.py:136-162).
 
-    Returns (f: V3, pdf, f_unit) with f == color * f_unit."""
+    Returns (f: V3, pdf, f_unit) with f == color * f_unit; only the
+    statically-present lobes are compiled."""
     same = wo.z * wi.z > 0
-    f_lam = color * np.float32(km.INV_PI)
-    f_lam = f_lam.where(same, v3_zeros(wo.x))
-    pdf_lam = jnp.where(same, jnp.abs(wi.z) * np.float32(km.INV_PI), 0.0)
+    has_lam = kbsdf.LAMBERT in lobes
+    has_ph = kbsdf.PHONG in lobes
 
-    wr = V3(-wo.x, -wo.y, wo.z)
-    cos_alpha = jnp.maximum(wr.dot(wi), 0.0)
-    ph = (exponent + 2.0) * np.float32(km.INV_2PI) * jnp.power(cos_alpha, exponent)
-    ph = jnp.where(same, ph, 0.0)
-    f_ph = color * ph
-    pdf_ph = (exponent + 1.0) * jnp.power(cos_alpha, exponent) \
-        * np.float32(km.INV_2PI)
+    unit_lam = pdf_lam = None
+    if has_lam:
+        unit_lam = jnp.where(same, np.float32(km.INV_PI), 0.0)
+        pdf_lam = jnp.where(same, jnp.abs(wi.z) * np.float32(km.INV_PI), 0.0)
 
-    is_lam = kind == kbsdf.LAMBERT
-    is_ph = kind == kbsdf.PHONG
-    f = f_lam.where(is_lam, f_ph.where(is_ph, v3_zeros(wo.x)))
-    pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_ph, pdf_ph, 0.0))
-    f_unit = jnp.where(is_lam, jnp.where(same, np.float32(km.INV_PI), 0.0),
-                       jnp.where(is_ph, ph, 0.0))
-    return f, pdf, f_unit
+    ph = pdf_ph = None
+    if has_ph:
+        wr = V3(-wo.x, -wo.y, wo.z)
+        cos_alpha = jnp.maximum(wr.dot(wi), 0.0)
+        if static_exp is not None:
+            powa = _ipow(cos_alpha, int(static_exp))
+            e2 = np.float32((static_exp + 2.0) * km.INV_2PI)
+            e1 = np.float32((static_exp + 1.0) * km.INV_2PI)
+        else:
+            powa = jnp.power(cos_alpha, exponent)
+            e2 = (exponent + 2.0) * np.float32(km.INV_2PI)
+            e1 = (exponent + 1.0) * np.float32(km.INV_2PI)
+        ph = jnp.where(same, e2 * powa, 0.0)
+        pdf_ph = e1 * powa
+
+    zero = jnp.zeros_like(wo.x)
+    if has_lam and has_ph:
+        is_lam = kind == kbsdf.LAMBERT
+        is_ph = kind == kbsdf.PHONG
+        f_unit = jnp.where(is_lam, unit_lam, jnp.where(is_ph, ph, 0.0))
+        pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_ph, pdf_ph, 0.0))
+    elif has_lam:
+        is_lam = kind == kbsdf.LAMBERT
+        f_unit = jnp.where(is_lam, unit_lam, 0.0)
+        pdf = jnp.where(is_lam, pdf_lam, 0.0)
+    elif has_ph:
+        is_ph = kind == kbsdf.PHONG
+        f_unit = jnp.where(is_ph, ph, 0.0)
+        pdf = jnp.where(is_ph, pdf_ph, 0.0)
+    else:
+        f_unit = zero
+        pdf = zero
+    return color * f_unit, pdf, f_unit
 
 
 # -- lights (plane port of kytpu/light/lights.py) ----------------------------
@@ -606,6 +716,43 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
     raise ValueError(f"unknown light kind {kind}")
 
 
+def _hit_light_pdf(lights, li_idx, o: V3, d: V3, t, nrm):
+    """Solid-angle pdf of the area light the extension ray hit, computed
+    FROM the hit record instead of re-intersecting every light
+    (_light_pdf): the squared distance is t^2 and the light-surface cosine
+    is |nrm.d|. Equal to the reference's re-intersection form
+    (ky.cpp:1055-1090) up to its double ray-origin offset (~1e-2), which is
+    inside MC noise. The inside-a-sphere-light case uses the hit surface's
+    own record, which coincides with the light's shape except under the
+    veach replicate_reference_swap quirk — where a shading point inside a
+    light sphere does not occur.
+    """
+    pdf = jnp.zeros_like(t)
+    t2 = t * t
+    cos_l = jnp.abs(nrm.dot(d))
+    for i, lt in enumerate(lights):
+        kind = lt["kind"]
+        if kind not in (klights.AREA_RECT, klights.AREA_SPHERE):
+            continue
+        if kind == klights.AREA_RECT:
+            pi = _safe_div(t2, cos_l * np.float32(lt["area"]))
+        else:
+            c = _cv3(lt["center"])
+            r = np.float32(lt["radius"])
+            d2c = jnp.maximum((c - o).length_squared(), 1e-20)
+            inside = d2c <= r * r
+            sin2_max = jnp.minimum(r * r / d2c, 1.0)
+            cos_max = _safe_sqrt(1.0 - sin2_max)
+            pdf_cone = _safe_div(np.float32(1.0),
+                                 np.float32(km.TWO_PI) * (1.0 - cos_max))
+            pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+            area = np.float32(4.0 * np.pi * lt["radius"] ** 2)
+            pdf_in = _safe_div(t2, cos_l * area)
+            pi = jnp.where(inside, pdf_in, pdf_cone)
+        pdf = jnp.where(li_idx == i, pi, pdf)
+    return pdf
+
+
 def _light_pdf(lt, p: V3, n_shade: V3, wi: V3):
     """pdf_Li for baked light lt (lights.py:232-266)."""
     kind = lt["kind"]
@@ -697,6 +844,17 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     M = len(mats["kind"])
     L = len(lights)
     world_radius = static["world_radius"]
+    lobes = mats["lobes"]
+    eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
+    static_exp = _static_exponent(mats)
+    has_plastic = kbsdf.MAT_PLASTIC in mats["kind"]
+    has_glass = kbsdf.MAT_GLASS in mats["kind"]
+    has_delta = bool(lobes & {kbsdf.MIRROR, kbsdf.GLASS})
+    # adjoint-eligible rows: a matte row never reads the specular table, a
+    # mirror row never reads the diffuse table — their adjoints are
+    # identically zero and are pruned from the backward accumulation loops
+    rows_d = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MIRROR]
+    rows_s = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MATTE]
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
     # light index -> emitting surface row (for NEE emission adjoints)
@@ -712,7 +870,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
              light_emit_ref, env_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
              gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-             dd_ref, ds_ref, de_ref) = refs
+             dd_ref, ds_ref, de_ref, denv_ref) = refs
         else:
             (seed_ref, diffuse_ref, specular_ref, emission_ref,
              light_emit_ref, env_ref,
@@ -730,7 +888,6 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         beta = v3_full(o.x, 1.0, 1.0, 1.0)
         big_l = v3_zeros(o.x)
         alive = jnp.zeros(shp, jnp.float32) < 1.0
-        prev_n = -d
         # carried masks live as int32 planes: selecting between two bool
         # vectors materializes i8 in Mosaic, which cannot truncate to i1
         spec_prev = jnp.zeros(shp, jnp.int32)
@@ -742,9 +899,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             acc_d = [v3_zeros(o.x) for _ in range(M)]
             acc_s = [v3_zeros(o.x) for _ in range(M)]
             acc_e = [v3_zeros(o.x) for _ in range(M)]
+            acc_env = v3_zeros(o.x)   # d env_radiance (env light only)
 
-            def row_add(acc, sid_mask_row, sid, val: V3):
-                for m in range(M):
+            def row_add(acc, rows, sid, val: V3):
+                for m in rows:
                     mrow = sid == m
                     acc[m] = V3(acc[m].x + jnp.where(mrow, val.x, 0.0),
                                 acc[m].y + jnp.where(mrow, val.y, 0.0),
@@ -756,12 +914,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             hp = o + d * t_safe
             wo = -d
 
-            # light id of hit surface + one-sided emission
-            li_idx = jnp.full(shp, np.int32(-1))
-            for m in range(M):
-                if mats["light_index"][m] >= 0:
-                    li_idx = jnp.where(sid == m,
-                                       np.int32(mats["light_index"][m]), li_idx)
+            # one-sided emission of the hit surface
             facing = nrm.dot(wo) > 0.0
             emit_v = _select_table3(sid, emission_ref, M)
             emit_mask = valid & facing
@@ -769,17 +922,27 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     jnp.where(emit_mask, emit_v.y, 0.0),
                     jnp.where(emit_mask, emit_v.z, 0.0))
 
-            # MIS weight vs the pdf of the light this ray found
-            pdf_l_hit = jnp.zeros(shp, jnp.float32)
-            for i, lt in enumerate(lights):
-                if lt["kind"] in (klights.POINT, klights.DIRECTION,
-                                  klights.ENV):
-                    continue
-                pi = _light_pdf(lt, o, prev_n, d)
-                pdf_l_hit = jnp.where(li_idx == i, pi, pdf_l_hit)
-            full = (np.int32(bounce) == 0) | (spec_prev != 0)
-            w_emit = jnp.where(full, np.float32(1.0),
-                               _safe_div(pdf_prev, pdf_prev + pdf_l_hit))
+            # MIS weight vs the pdf of the light this ray found, computed
+            # from the hit record (no per-light re-intersection)
+            # bounce is static; without delta lobes spec_prev is always 0
+            if bounce == 0:
+                full = True
+            elif has_delta:
+                full = spec_prev != 0
+            else:
+                full = False
+            if full is True:
+                w_emit = jnp.ones(shp, jnp.float32)
+            else:
+                li_idx = jnp.full(shp, np.int32(-1))
+                for m in range(M):
+                    if mats["light_index"][m] >= 0:
+                        li_idx = jnp.where(sid == m,
+                                           np.int32(mats["light_index"][m]),
+                                           li_idx)
+                pdf_l_hit = _hit_light_pdf(lights, li_idx, o, d, t_safe, nrm)
+                w_emit = jnp.where(full, np.float32(1.0),
+                                   _safe_div(pdf_prev, pdf_prev + pdf_l_hit))
             wb = jnp.where(alive, w_emit, 0.0)
             e_term = le * wb
             big_l = big_l + beta * e_term
@@ -787,44 +950,65 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             if grad:
                 # d emission[sid] from the hit-emission term
                 wbm = jnp.where(emit_mask, wb, 0.0)
-                row_add(acc_e, None, sid, g * beta * wbm)
+                row_add(acc_e, range(M), sid, g * beta * wbm)
 
             if env_i is not None:
                 env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
                          env_ref[0, 1] * jnp.ones(shp, jnp.float32),
                          env_ref[0, 2] * jnp.ones(shp, jnp.float32))
-                pdf_env = _light_pdf(lights[env_i], o, prev_n, d)
-                w_env = jnp.where(full, np.float32(1.0),
-                                  _safe_div(pdf_prev, pdf_prev + pdf_env))
+                if full is True:
+                    w_env = np.float32(1.0)
+                else:
+                    pdf_env = _light_pdf(lights[env_i], o, nrm, d)
+                    w_env = jnp.where(full, np.float32(1.0),
+                                      _safe_div(pdf_prev, pdf_prev + pdf_env))
                 wenv = jnp.where(alive & ~valid, w_env, 0.0)
                 e_term = e_term + env * wenv
                 big_l = big_l + beta * env * wenv
+                if grad:
+                    # miss-emission term is linear in env radiance
+                    acc_env = acc_env + g * beta * wenv
 
-            cont = alive & valid & (bounce < cfg.max_depth)
+            if bounce == cfg.max_depth:
+                continue   # horizon vertex: only its emission terms exist
+            cont = alive & valid
 
-            # material resolution (plastic stochastic lobe pick)
-            u_lobe = rng.uniform(shp)
-            exponent = _select_rows(sid, range(M), mats["exponent"])
-            eta = _select_rows(sid, range(M), mats["eta"])
-            s_prob = _select_rows(sid, range(M), mats["s_prob"])
-            d_prob = _select_rows(sid, range(M), mats["d_prob"])
-            diffuse = _select_table3(sid, diffuse_ref, M)
-            specular = _select_table3(sid, specular_ref, M)
+            # material resolution (plastic stochastic lobe pick); selects
+            # and the lobe-pick draw are pruned to the kinds present
+            exponent = np.float32(0.0) if static_exp is not None \
+                else _select_rows(sid, range(M), mats["exponent"])
+            eta = _select_rows(sid, range(M), mats["eta"]) if has_glass \
+                else np.float32(1.0)
+            diffuse = _select_table3(sid, diffuse_ref, rows_d)
+            specular = _select_table3(sid, specular_ref, rows_s)
             mk = jnp.zeros(shp, jnp.int32)
             for m in range(M):
                 if mats["kind"][m] != 0:
                     mk = jnp.where(sid == m, np.int32(mats["kind"][m]), mk)
-            pick_spec = u_lobe < s_prob
-            plastic_kind = jnp.where(pick_spec, np.int32(kbsdf.PHONG),
-                                     np.int32(kbsdf.LAMBERT))
-            inv_sp = 1.0 / jnp.maximum(s_prob, 1e-12)
-            inv_dp = 1.0 / jnp.maximum(d_prob, 1e-12)
-            plastic_col = (specular * inv_sp).where(pick_spec,
-                                                    diffuse * inv_dp)
             is_matte = mk == kbsdf.MAT_MATTE
             is_mirror = mk == kbsdf.MAT_MIRROR
             is_glass = mk == kbsdf.MAT_GLASS
             is_plastic = mk == kbsdf.MAT_PLASTIC
+            if has_plastic:
+                u_lobe = rng.uniform(shp)
+                s_prob = _select_rows(sid, range(M), mats["s_prob"])
+                d_prob = _select_rows(sid, range(M), mats["d_prob"])
+                pick_spec = u_lobe < s_prob
+                plastic_kind = jnp.where(pick_spec, np.int32(kbsdf.PHONG),
+                                         np.int32(kbsdf.LAMBERT))
+                inv_sp = 1.0 / jnp.maximum(s_prob, 1e-12)
+                inv_dp = 1.0 / jnp.maximum(d_prob, 1e-12)
+                plastic_col = (specular * inv_sp).where(pick_spec,
+                                                        diffuse * inv_dp)
+                lobe_is_phong = is_plastic & pick_spec
+                lobe_scale = jnp.where(is_plastic,
+                                       jnp.where(pick_spec, inv_sp, inv_dp),
+                                       1.0)
+            else:
+                plastic_kind = np.int32(kbsdf.LAMBERT)
+                plastic_col = diffuse
+                lobe_is_phong = is_plastic & (sid < -1)   # statically false
+                lobe_scale = np.float32(1.0)
             kind = jnp.where(is_matte, np.int32(kbsdf.LAMBERT),
                              jnp.where(is_mirror, np.int32(kbsdf.MIRROR),
                                        jnp.where(is_glass, np.int32(kbsdf.GLASS),
@@ -833,12 +1017,11 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                                   specular.where(is_mirror | is_glass,
                                                  plastic_col))
             color2 = diffuse
-            delta = (kind == kbsdf.MIRROR) | (kind == kbsdf.GLASS)
-            nee_act = cont & ~delta
-            # lobe scale of the linear color factor + its target table
-            lobe_is_phong = is_plastic & pick_spec
-            lobe_scale = jnp.where(is_plastic,
-                                   jnp.where(pick_spec, inv_sp, inv_dp), 1.0)
+            if has_delta:
+                delta = is_mirror | is_glass
+                nee_act = cont & ~delta
+            else:
+                nee_act = cont
 
             # local frame at hit
             s_f, t_f, n_f = make_frame(nrm)
@@ -850,7 +1033,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             # selection because each light's light/bsdf weight pair sums to
             # 1 independently (see docs/DESIGN.md)
             def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
-                nonlocal acc_e, acc_d, acc_s
+                nonlocal acc_e, acc_d, acc_s, acc_env
                 emit_l = V3(light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
@@ -858,7 +1041,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     lt, emit_l, world_radius, hp, nrm, u1, u2)
                 wi_l = to_local(s_f, t_f, n_f, wi)
                 f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
-                                                      wo_l, wi_l)
+                                                      wo_l, wi_l, eval_lobes,
+                                                      static_exp)
                 f_cos = f_e * jnp.abs(wi_l.z)
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
                     w = _safe_div(np.float32(1.0), pdf_l)
@@ -876,25 +1060,32 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if grad:
                     gb = g * beta
                     # d light emission (linear in Li): goes to the light's
-                    # emitting surface row, if it has one
+                    # emitting surface row if it has one, or to the env
+                    # radiance leaf for the environment light
                     if i in light_row:
                         add = gb * f_cos * okf
                         r = light_row[i]
                         acc_e[r] = V3(acc_e[r].x + add.x,
                                       acc_e[r].y + add.y,
                                       acc_e[r].z + add.z)
+                    elif lt["kind"] == klights.ENV:
+                        acc_env = acc_env + gb * f_cos * okf
                     # d material color (linear in eval): target by lobe
                     coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
                     addc = gb * li_v * coeff
                     to_spec = lobe_is_phong
-                    row_add(acc_s, None, sid,
-                            V3(jnp.where(to_spec, addc.x, 0.0),
-                               jnp.where(to_spec, addc.y, 0.0),
-                               jnp.where(to_spec, addc.z, 0.0)))
-                    row_add(acc_d, None, sid,
-                            V3(jnp.where(to_spec, 0.0, addc.x),
-                               jnp.where(to_spec, 0.0, addc.y),
-                               jnp.where(to_spec, 0.0, addc.z)))
+                    if has_plastic:
+                        row_add(acc_s, rows_s, sid,
+                                V3(jnp.where(to_spec, addc.x, 0.0),
+                                   jnp.where(to_spec, addc.y, 0.0),
+                                   jnp.where(to_spec, addc.z, 0.0)))
+                        row_add(acc_d, rows_d, sid,
+                                V3(jnp.where(to_spec, 0.0, addc.x),
+                                   jnp.where(to_spec, 0.0, addc.y),
+                                   jnp.where(to_spec, 0.0, addc.z)))
+                    else:
+                        # only lambert lobes reach NEE eval
+                        row_add(acc_d, rows_d, sid, addc)
                 return contrib
 
             ld = v3_zeros(o.x)
@@ -938,7 +1129,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 is_delta_l = outs[8] > 0.5
                 wi_l = to_local(s_f, t_f, n_f, wi)
                 f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
-                                                      wo_l, wi_l)
+                                                      wo_l, wi_l, eval_lobes,
+                                                      static_exp)
                 f_cos = f_e * jnp.abs(wi_l.z)
                 w = jnp.where(is_delta_l,
                               _safe_div(np.float32(1.0), pdf_l),
@@ -960,17 +1152,23 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                             acc_e[r] = V3(acc_e[r].x + add.x * selm,
                                           acc_e[r].y + add.y * selm,
                                           acc_e[r].z + add.z * selm)
+                        elif lights[i]["kind"] == klights.ENV:
+                            selm = (pick == i).astype(jnp.float32)
+                            acc_env = acc_env + add * selm
                     coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
                     addc = gb * li_v * coeff
                     to_spec = lobe_is_phong
-                    row_add(acc_s, None, sid,
-                            V3(jnp.where(to_spec, addc.x, 0.0),
-                               jnp.where(to_spec, addc.y, 0.0),
-                               jnp.where(to_spec, addc.z, 0.0)))
-                    row_add(acc_d, None, sid,
-                            V3(jnp.where(to_spec, 0.0, addc.x),
-                               jnp.where(to_spec, 0.0, addc.y),
-                               jnp.where(to_spec, 0.0, addc.z)))
+                    if has_plastic:
+                        row_add(acc_s, rows_s, sid,
+                                V3(jnp.where(to_spec, addc.x, 0.0),
+                                   jnp.where(to_spec, addc.y, 0.0),
+                                   jnp.where(to_spec, addc.z, 0.0)))
+                        row_add(acc_d, rows_d, sid,
+                                V3(jnp.where(to_spec, 0.0, addc.x),
+                                   jnp.where(to_spec, 0.0, addc.y),
+                                   jnp.where(to_spec, 0.0, addc.z)))
+                    else:
+                        row_add(acc_d, rows_d, sid, addc)
             else:
                 for i, lt in enumerate(lights):
                     u1 = rng.uniform(shp)
@@ -983,7 +1181,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             u1 = rng.uniform(shp)
             u2 = rng.uniform(shp)
             f_s, wi_l, pdf_s, delta_s, f_unit_s, glass_refract = _bsdf_sample(
-                kind, color, color2, eta, exponent, wo_l, u1, u2)
+                kind, color, color2, eta, exponent, wo_l, u1, u2, lobes,
+                static_exp)
             wi_w = to_world(s_f, t_f, n_f, wi_l)
             ok = cont & ~f_s.is_black() & (pdf_s != 0.0)
             thr = f_s * _safe_div(jnp.abs(wi_l.z), pdf_s)
@@ -1018,24 +1217,27 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 addt = g * beta * r_next * coeff_t
                 # target: specular for mirror / glass-reflect / plastic-phong;
                 # diffuse for matte / glass-refract / plastic-lambert
-                to_spec_t = (is_mirror | (is_glass & ~glass_refract)
-                             | lobe_is_phong)
-                row_add(acc_s, None, sid,
-                        V3(jnp.where(to_spec_t, addt.x, 0.0),
-                           jnp.where(to_spec_t, addt.y, 0.0),
-                           jnp.where(to_spec_t, addt.z, 0.0)))
-                row_add(acc_d, None, sid,
-                        V3(jnp.where(to_spec_t, 0.0, addt.x),
-                           jnp.where(to_spec_t, 0.0, addt.y),
-                           jnp.where(to_spec_t, 0.0, addt.z)))
+                if has_delta or has_plastic:
+                    to_spec_t = (is_mirror | (is_glass & ~glass_refract)
+                                 | lobe_is_phong)
+                    row_add(acc_s, rows_s, sid,
+                            V3(jnp.where(to_spec_t, addt.x, 0.0),
+                               jnp.where(to_spec_t, addt.y, 0.0),
+                               jnp.where(to_spec_t, addt.z, 0.0)))
+                    row_add(acc_d, rows_d, sid,
+                            V3(jnp.where(to_spec_t, 0.0, addt.x),
+                               jnp.where(to_spec_t, 0.0, addt.y),
+                               jnp.where(to_spec_t, 0.0, addt.z)))
+                else:
+                    row_add(acc_d, rows_d, sid, addt)
                 r_tail = r_next
 
             o = _offset_origin(hp, nrm, wi_w).where(alive_n, o)
             d = wi_w.where(alive_n, d)
             beta = beta_new.where(alive_n, beta)
-            prev_n = nrm.where(alive_n, prev_n)
-            spec_prev = jnp.where(alive_n, delta_s.astype(jnp.int32),
-                                  spec_prev)
+            if has_delta:
+                spec_prev = jnp.where(alive_n, delta_s.astype(jnp.int32),
+                                      spec_prev)
             pdf_prev = jnp.where(alive_n, pdf_s, pdf_prev)
             alive = alive_n
 
@@ -1049,18 +1251,21 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             arr_d = stack_acc(acc_d)
             arr_s = stack_acc(acc_s)
             arr_e = stack_acc(acc_e)
+            arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
 
             @pl.when(pid == 0)
             def _():
                 dd_ref[:] = arr_d
                 ds_ref[:] = arr_s
                 de_ref[:] = arr_e
+                denv_ref[:] = arr_env
 
             @pl.when(pid != 0)
             def _():
                 dd_ref[:] = dd_ref[:] + arr_d
                 ds_ref[:] = ds_ref[:] + arr_s
                 de_ref[:] = de_ref[:] + arr_e
+                denv_ref[:] = denv_ref[:] + arr_env
         else:
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
@@ -1156,14 +1361,16 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                             interpret: bool = False):
     """Differentiable megakernel tracer via path-replay backprop.
 
-    Returns fn(diffuse, specular, emission, o, d, seed) -> (N, 3) radiance
-    with a custom VJP: the backward pass replays the exact forward RNG
-    stream in a second Pallas kernel (no stored path state — O(1) memory in
-    path depth) and returns (d_diffuse, d_specular, d_emission), including
-    the NEE light-emission adjoints routed to each light's emitting surface
-    row exactly as diff.params.set_params ties them. Ray-origin/direction
-    cotangents are zero (geometry derivatives are out of scope, as in the
-    jnp detached-sampling path).
+    Returns fn(diffuse, specular, emission, env, o, d, seed) -> (N, 3)
+    radiance with a custom VJP: the backward pass replays the exact forward
+    RNG stream in a second Pallas kernel (no stored path state — O(1)
+    memory in path depth) and returns
+    (d_diffuse, d_specular, d_emission, d_env), including the NEE
+    light-emission adjoints routed to each light's emitting surface row
+    exactly as diff.params.set_params ties them; `env` is the (3,)
+    environment radiance (pass zeros for env-free scenes — its cotangent is
+    then zero). Ray-origin/direction cotangents are zero (geometry
+    derivatives are out of scope, as in the jnp detached-sampling path).
     """
     cfg = cfg or KernelConfig()
     if interpret is True:
@@ -1177,8 +1384,8 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     has_env = bool(scene.has_env)
     light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
         if n_lights else []
-    env_rad = (scene.env_radiance_ if has_env
-               else jnp.zeros(3, jnp.float32))
+    env_row = next((i for i, k in enumerate(scene.lights.kinds)
+                    if int(k) == klights.ENV), None) if n_lights else None
 
     def _planes(v, n, npad, rows):
         pad = jnp.zeros((npad - n,), jnp.float32)
@@ -1197,18 +1404,21 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                                  memory_space=pltpu.SMEM)
         return blk, smem
 
-    def _light_emit_of(emission):
+    def _light_emit_of(emission, env):
         if not n_lights:
             return jnp.zeros((1, 3), jnp.float32)
         rows = jnp.asarray([max(r, 0) for r in light_rows], jnp.int32)
         has = jnp.asarray([r >= 0 for r in light_rows])[:, None]
-        return jnp.where(has, emission[rows], scene.lights.emit)
+        emit = jnp.where(has, emission[rows], scene.lights.emit)
+        if env_row is not None:
+            emit = emit.at[env_row].set(env)
+        return emit
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, o, d, seed):
-        return _fwd_impl(diffuse, specular, emission, o, d, seed)
+    def trace(diffuse, specular, emission, env, o, d, seed):
+        return _fwd_impl(diffuse, specular, emission, env, o, d, seed)
 
-    def _fwd_impl(diffuse, specular, emission, o, d, seed):
+    def _fwd_impl(diffuse, specular, emission, env, o, d, seed):
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -1226,17 +1436,17 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, _light_emit_of(emission), env_rad.reshape(1, 3),
+          emission, _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
-    def _fwd(diffuse, specular, emission, o, d, seed):
-        big_l = _fwd_impl(diffuse, specular, emission, o, d, seed)
-        return big_l, (diffuse, specular, emission, o, d, seed, big_l)
+    def _fwd(diffuse, specular, emission, env, o, d, seed):
+        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+        return big_l, (diffuse, specular, emission, env, o, d, seed, big_l)
 
     def _bwd(res, g):
-        diffuse, specular, emission, o, d, seed, big_l = res
+        diffuse, specular, emission, env, o, d, seed, big_l = res
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -1245,29 +1455,37 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         gx, gy, gz = _planes(g, n, npad, rows)
         flx, fly, flz = _planes(big_l, n, npad, rows)
-        acc_blk = pl.BlockSpec((3 * m_rows, cfg.rows, LANE),
-                               lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM)
-        acc_shape = jax.ShapeDtypeStruct((3 * m_rows, cfg.rows, LANE),
-                                         jnp.float32)
-        dd, ds, de = pl.pallas_call(
+
+        def acc_blk(nplanes):
+            return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                                lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def acc_shape(nplanes):
+            return jax.ShapeDtypeStruct((nplanes, cfg.rows, LANE),
+                                        jnp.float32)
+
+        dd, ds, de, denv = pl.pallas_call(
             bwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
                       smem((max(n_lights, 1), 3)), smem((1, 3)),
                       blk, blk, blk, blk, blk, blk,
                       blk, blk, blk, blk, blk, blk],
-            out_specs=[acc_blk, acc_blk, acc_blk],
-            out_shape=[acc_shape, acc_shape, acc_shape],
+            out_specs=[acc_blk(3 * m_rows), acc_blk(3 * m_rows),
+                       acc_blk(3 * m_rows), acc_blk(3)],
+            out_shape=[acc_shape(3 * m_rows), acc_shape(3 * m_rows),
+                       acc_shape(3 * m_rows), acc_shape(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, _light_emit_of(emission), env_rad.reshape(1, 3),
+          emission, _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, gx, gy, gz, flx, fly, flz)
 
         def reduce(a):
             return a.sum(axis=(1, 2)).reshape(m_rows, 3)
 
         return (reduce(dd), reduce(ds), reduce(de),
+                denv.sum(axis=(1, 2)).reshape(3),
                 jnp.zeros_like(o), jnp.zeros_like(d), None)
 
     trace.defvjp(_fwd, _bwd)

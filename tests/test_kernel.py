@@ -188,10 +188,11 @@ def test_prb_gradients_match_fd():
     o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
     seed = jnp.int32(5)
 
+    env0 = jnp.zeros(3, jnp.float32)
     p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
 
     def loss(diffuse, specular, emission):
-        out = tracer(diffuse, specular, emission, o, d, seed)
+        out = tracer(diffuse, specular, emission, env0, o, d, seed)
         return jnp.mean(out)
 
     g = jax.grad(loss, argnums=(0, 1, 2))(*p0)
@@ -249,8 +250,8 @@ def test_single_light_nee_matches_all():
 
 
 def test_prb_gradients_env_scene():
-    """PRB replay handles the environment-light branch (tail subtraction
-    includes the env term even though env radiance itself is untrainable)."""
+    """PRB replay handles the environment-light branch, including the
+    d/d env_radiance adjoint (miss-emission term + env NEE)."""
     flags = builders.BOTH_SMALL_SPHERES | {builders.LIGHT_ENVIRONMENT,
                                            builders.LIGHT_AREA}
     scene = builders.cornell_box(flags, width=8, height=8)
@@ -265,14 +266,15 @@ def test_prb_gradients_env_scene():
     py = (pid // 8).astype(jnp.float32) + u[:, 1]
     o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
     seed = jnp.int32(9)
-    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission,
+          scene.env_radiance_)
 
-    def loss(diffuse, specular, emission):
-        return jnp.mean(tracer(diffuse, specular, emission, o, d, seed))
+    def loss(diffuse, specular, emission, env):
+        return jnp.mean(tracer(diffuse, specular, emission, env, o, d, seed))
 
-    g = jax.grad(loss, argnums=(0, 1, 2))(*p0)
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(*p0)
     eps = 1e-2
-    for argi, idx in [(0, (0, 0)), (0, (4, 2))]:
+    for argi, idx in [(0, (0, 0)), (0, (4, 2)), (3, (0,)), (3, (2,))]:
         ap = list(p0); am = list(p0)
         ap[argi] = p0[argi].at[idx].add(eps)
         am[argi] = p0[argi].at[idx].add(-eps)
@@ -280,3 +282,5 @@ def test_prb_gradients_env_scene():
         ad = float(g[argi][idx])
         assert np.isfinite(ad) and np.isfinite(fd)
         assert abs(ad - fd) <= 5e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
+    # env radiance must actually receive gradient in an env-lit scene
+    assert abs(float(g[3][0])) > 1e-5
