@@ -433,6 +433,13 @@ def _fresnel_dielectric(ci, eta):
     return jnp.where(tir, np.float32(1.0), fr)
 
 
+def _sin_from_phi_cos(cos_phi, u):
+    """sin(2*pi*u) given cos(2*pi*u): one multi-pass transcendental instead
+    of two. sign(sin) = +1 iff u <= 0.5."""
+    s = _safe_sqrt(1.0 - cos_phi * cos_phi)
+    return jnp.where(u <= 0.5, s, -s)
+
+
 def _concentric_disk(u1, u2):
     x = 2.0 * u1 - 1.0
     y = 2.0 * u2 - 1.0
@@ -442,8 +449,12 @@ def _concentric_disk(u1, u2):
     theta = jnp.where(xd, np.float32(km.PI_OVER_4) * ratio,
                       np.float32(km.PI_OVER_2) - np.float32(km.PI_OVER_4) * ratio)
     deg = (x == 0.0) & (y == 0.0)
-    px = jnp.where(deg, 0.0, r * jnp.cos(theta))
-    py = jnp.where(deg, 0.0, r * jnp.sin(theta))
+    ct = jnp.cos(theta)
+    # theta in [-pi/4, 3pi/4]: sin(theta) >= 0 iff theta >= 0
+    st = _safe_sqrt(1.0 - ct * ct)
+    st = jnp.where(theta >= 0.0, st, -st)
+    px = jnp.where(deg, 0.0, r * ct)
+    py = jnp.where(deg, 0.0, r * st)
     return px, py
 
 
@@ -512,7 +523,9 @@ def _bsdf_sample(kind, color: V3, color2: V3, eta, exponent, wo: V3, u1, u2,
         else:
             cos_t_p = jnp.power(u2, 1.0 / (exponent + 1.0))
         sin_t_p = _safe_sqrt(1.0 - cos_t_p * cos_t_p)
-        lobe = V3(jnp.cos(phi) * sin_t_p, jnp.sin(phi) * sin_t_p, cos_t_p)
+        cphi = jnp.cos(phi)
+        lobe = V3(cphi * sin_t_p, _sin_from_phi_cos(cphi, u1) * sin_t_p,
+                  cos_t_p)
         s_f, t_f, n_f = make_frame(mirror_wi)
         wi_ph = to_world(s_f, t_f, n_f, lobe)
         wi_ph = V3(wi_ph.x, wi_ph.y, jnp.where(wo.z < 0, -wi_ph.z, wi_ph.z))
@@ -664,10 +677,12 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
             1.0 - sin2 * inv_sin_max * inv_sin_max)
         sin_a = _safe_sqrt(1.0 - cos_a * cos_a)
         phi = u2 * np.float32(km.TWO_PI)
+        cphi = jnp.cos(phi)
+        sphi = _sin_from_phi_cos(cphi, u2)
         to_c = vec_c * inv_dc
         s_f, t_f, n_f = make_frame(to_c)
-        n_cone = (-s_f) * (sin_a * jnp.cos(phi)) \
-            + (-t_f) * (sin_a * jnp.sin(phi)) + (-n_f) * cos_a
+        n_cone = (-s_f) * (sin_a * cphi) \
+            + (-t_f) * (sin_a * sphi) + (-n_f) * cos_a
         lp_cone = c + n_cone * r
         pdf_cone = _safe_div(np.float32(1.0),
                              np.float32(km.TWO_PI) * (1.0 - cos_max))
@@ -676,7 +691,7 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         # inside: uniform area sample (ky.cpp:1422-1443)
         z_u = 1.0 - 2.0 * u1
         r_u = _safe_sqrt(1.0 - z_u * z_u)
-        dir_u = V3(r_u * jnp.cos(phi), r_u * jnp.sin(phi), z_u)
+        dir_u = V3(r_u * cphi, r_u * sphi, z_u)
         lp_in = c + dir_u * r
         vec_in = lp_in - p
         d2_in = jnp.maximum(vec_in.length_squared(), 1e-20)
@@ -703,7 +718,8 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         z_u = 1.0 - 2.0 * u1
         r_u = _safe_sqrt(1.0 - z_u * z_u)
         phi = np.float32(km.TWO_PI) * u2
-        wi = V3(r_u * jnp.cos(phi), r_u * jnp.sin(phi), z_u)
+        cphi = jnp.cos(phi)
+        wi = V3(r_u * cphi, r_u * _sin_from_phi_cos(cphi, u2), z_u)
         sin_theta = _safe_sqrt(1.0 - wi.z * wi.z)
         pdf = jnp.where(sin_theta == 0.0, 0.0,
                         np.float32(1.0 / (2.0 * np.pi * np.pi))
@@ -855,6 +871,11 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     # identically zero and are pruned from the backward accumulation loops
     rows_d = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MIRROR]
     rows_s = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MATTE]
+    # emission lives only on light-bound surface rows (the reference's
+    # emission comes from the area_light binding, ky.cpp:3084): non-light
+    # rows are structurally zero, so the hit-emission select and its
+    # adjoint scatter skip them
+    rows_e = [m for m in range(M) if mats["light_index"][m] >= 0]
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
     # light index -> emitting surface row (for NEE emission adjoints)
@@ -916,7 +937,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
 
             # one-sided emission of the hit surface
             facing = nrm.dot(wo) > 0.0
-            emit_v = _select_table3(sid, emission_ref, M)
+            emit_v = _select_table3(sid, emission_ref, rows_e)
             emit_mask = valid & facing
             le = V3(jnp.where(emit_mask, emit_v.x, 0.0),
                     jnp.where(emit_mask, emit_v.y, 0.0),
@@ -950,7 +971,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             if grad:
                 # d emission[sid] from the hit-emission term
                 wbm = jnp.where(emit_mask, wb, 0.0)
-                row_add(acc_e, range(M), sid, g * beta * wbm)
+                row_add(acc_e, rows_e, sid, g * beta * wbm)
 
             if env_i is not None:
                 env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
@@ -1033,7 +1054,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             # selection because each light's light/bsdf weight pair sums to
             # 1 independently (see docs/DESIGN.md)
             def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
-                nonlocal acc_e, acc_d, acc_s, acc_env
+                nonlocal acc_e, acc_env, addc_diff, addc_spec
                 emit_l = V3(light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
                             light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
@@ -1070,23 +1091,33 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                                       acc_e[r].z + add.z)
                     elif lt["kind"] == klights.ENV:
                         acc_env = acc_env + gb * f_cos * okf
-                    # d material color (linear in eval): target by lobe
+                    # d material color (linear in eval): target by lobe.
+                    # Deferred: every NEE/extension term of this bounce
+                    # shares one sid plane, so the per-row scatter happens
+                    # ONCE per bounce on the summed planes (see below).
                     coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
                     addc = gb * li_v * coeff
                     to_spec = lobe_is_phong
                     if has_plastic:
-                        row_add(acc_s, rows_s, sid,
-                                V3(jnp.where(to_spec, addc.x, 0.0),
-                                   jnp.where(to_spec, addc.y, 0.0),
-                                   jnp.where(to_spec, addc.z, 0.0)))
-                        row_add(acc_d, rows_d, sid,
-                                V3(jnp.where(to_spec, 0.0, addc.x),
-                                   jnp.where(to_spec, 0.0, addc.y),
-                                   jnp.where(to_spec, 0.0, addc.z)))
+                        addc_spec = addc_spec + V3(
+                            jnp.where(to_spec, addc.x, 0.0),
+                            jnp.where(to_spec, addc.y, 0.0),
+                            jnp.where(to_spec, addc.z, 0.0))
+                        addc_diff = addc_diff + V3(
+                            jnp.where(to_spec, 0.0, addc.x),
+                            jnp.where(to_spec, 0.0, addc.y),
+                            jnp.where(to_spec, 0.0, addc.z))
                     else:
                         # only lambert lobes reach NEE eval
-                        row_add(acc_d, rows_d, sid, addc)
+                        addc_diff = addc_diff + addc
                 return contrib
+
+            if grad:
+                # bounce-local material-color adjoint planes; scattered to
+                # the per-row accumulators once per bounce (after the
+                # extension term) since sid is shared by all terms
+                addc_diff = v3_zeros(o.x)
+                addc_spec = v3_zeros(o.x)
 
             ld = v3_zeros(o.x)
             if cfg.nee == "single" and L > 1:
@@ -1159,16 +1190,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     addc = gb * li_v * coeff
                     to_spec = lobe_is_phong
                     if has_plastic:
-                        row_add(acc_s, rows_s, sid,
-                                V3(jnp.where(to_spec, addc.x, 0.0),
-                                   jnp.where(to_spec, addc.y, 0.0),
-                                   jnp.where(to_spec, addc.z, 0.0)))
-                        row_add(acc_d, rows_d, sid,
-                                V3(jnp.where(to_spec, 0.0, addc.x),
-                                   jnp.where(to_spec, 0.0, addc.y),
-                                   jnp.where(to_spec, 0.0, addc.z)))
+                        addc_spec = addc_spec + V3(
+                            jnp.where(to_spec, addc.x, 0.0),
+                            jnp.where(to_spec, addc.y, 0.0),
+                            jnp.where(to_spec, addc.z, 0.0))
+                        addc_diff = addc_diff + V3(
+                            jnp.where(to_spec, 0.0, addc.x),
+                            jnp.where(to_spec, 0.0, addc.y),
+                            jnp.where(to_spec, 0.0, addc.z))
                     else:
-                        row_add(acc_d, rows_d, sid, addc)
+                        addc_diff = addc_diff + addc
             else:
                 for i, lt in enumerate(lights):
                     u1 = rng.uniform(shp)
@@ -1188,14 +1219,19 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             thr = f_s * _safe_div(jnp.abs(wi_l.z), pdf_s)
 
             beta_new = beta * thr
-            u_rr = rng.uniform(shp)
-            q = jnp.maximum(np.float32(0.05), 1.0 - beta_new.max_component())
-            rr_on = np.int32(bounce) > cfg.rr_start
-            kill = rr_on & (u_rr < q)
-            scale = jnp.where(rr_on, _safe_div(np.float32(1.0), 1.0 - q), 1.0)
-            beta_new = beta_new * scale
-
-            alive_n = ok & ~kill
+            # bounce is static: no RR draw/update at all before rr_start
+            # (fwd and bwd replay skip identically, keeping streams aligned)
+            if bounce > cfg.rr_start:
+                u_rr = rng.uniform(shp)
+                q = jnp.maximum(np.float32(0.05),
+                                1.0 - beta_new.max_component())
+                kill = u_rr < q
+                scale = _safe_div(np.float32(1.0), 1.0 - q)
+                beta_new = beta_new * scale
+                alive_n = ok & ~kill
+            else:
+                scale = np.float32(1.0)
+                alive_n = ok
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1220,16 +1256,21 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if has_delta or has_plastic:
                     to_spec_t = (is_mirror | (is_glass & ~glass_refract)
                                  | lobe_is_phong)
-                    row_add(acc_s, rows_s, sid,
-                            V3(jnp.where(to_spec_t, addt.x, 0.0),
-                               jnp.where(to_spec_t, addt.y, 0.0),
-                               jnp.where(to_spec_t, addt.z, 0.0)))
-                    row_add(acc_d, rows_d, sid,
-                            V3(jnp.where(to_spec_t, 0.0, addt.x),
-                               jnp.where(to_spec_t, 0.0, addt.y),
-                               jnp.where(to_spec_t, 0.0, addt.z)))
+                    addc_spec = addc_spec + V3(
+                        jnp.where(to_spec_t, addt.x, 0.0),
+                        jnp.where(to_spec_t, addt.y, 0.0),
+                        jnp.where(to_spec_t, addt.z, 0.0))
+                    addc_diff = addc_diff + V3(
+                        jnp.where(to_spec_t, 0.0, addt.x),
+                        jnp.where(to_spec_t, 0.0, addt.y),
+                        jnp.where(to_spec_t, 0.0, addt.z))
                 else:
-                    row_add(acc_d, rows_d, sid, addt)
+                    addc_diff = addc_diff + addt
+                # the single per-bounce row scatter of all material-color
+                # adjoint terms (L NEE lights + the extension sample)
+                row_add(acc_d, rows_d, sid, addc_diff)
+                if has_delta or has_plastic:
+                    row_add(acc_s, rows_s, sid, addc_spec)
                 r_tail = r_next
 
             o = _offset_origin(hp, nrm, wi_w).where(alive_n, o)
