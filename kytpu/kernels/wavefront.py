@@ -200,8 +200,9 @@ class _Rng:
         self.ctr += 1
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 0) * np.int32(shape[-1]) \
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        step = (self.ctr * 668265263) & 0xFFFFFFFF  # trace-time wraparound
         x = self.seed + lane * np.int32(374761393) \
-            + np.int32(self.ctr) * np.int32(668265263)
+            + np.int32(step - (1 << 32) if step >= (1 << 31) else step)
         x = x ^ jax.lax.shift_right_logical(x, jnp.int32(17))
         x = x * np.int32(-315667899)            # 0xed5ad4bb
         x = x ^ jax.lax.shift_right_logical(x, jnp.int32(11))
@@ -617,8 +618,13 @@ def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3,
 # -- lights (plane port of kytpu/light/lights.py) ----------------------------
 
 
-def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
-    """sample_Li for baked light lt. Returns (wi, pdf, li: V3, dist)."""
+def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2):
+    """sample_Li for baked light lt. Returns (wi, pdf, li_scalar, dist).
+
+    The incident radiance factors as Li = emit (x) li_scalar with emit the
+    light's (traced, SMEM) color triple and li_scalar a per-lane scalar
+    plane — the factorization the coefficient-cache backward stores one
+    plane per light of (see _make_bwd_res_kernel)."""
     kind = lt["kind"]
     if kind == klights.POINT:
         lp = _cv3(lt["position"])
@@ -626,16 +632,13 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         d2 = jnp.maximum(vec.length_squared(), 1e-20)
         dist = jnp.sqrt(d2)
         wi = vec * (1.0 / dist)
-        li = emit * (1.0 / d2)
-        return wi, jnp.ones_like(u1), li, dist
+        return wi, jnp.ones_like(u1), 1.0 / d2, dist
 
     if kind == klights.DIRECTION:
         dr = _cv3(lt["direction"])
         wi = v3_full(u1, -dr.x, -dr.y, -dr.z)
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        ones = jnp.ones_like(u1)
-        li = V3(emit.x * ones, emit.y * ones, emit.z * ones)
-        return wi, jnp.ones_like(u1), li, dist
+        return wi, jnp.ones_like(u1), jnp.ones_like(u1), dist
 
     if kind == klights.AREA_RECT:
         p0, p1, p2 = _cv3(lt["p0"]), _cv3(lt["p1"]), _cv3(lt["p2"])
@@ -649,10 +652,9 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         cos_l = n_l.dot(-wi)
         pdf = _safe_div(d2, jnp.abs(cos_l) * area)
         facing = cos_l > 0
-        li = V3(jnp.where(facing, emit.x, 0.0), jnp.where(facing, emit.y, 0.0),
-                jnp.where(facing, emit.z, 0.0))
+        li_s = jnp.where(facing, np.float32(1.0), np.float32(0.0))
         pdf = jnp.where(facing & (pdf > 0) & jnp.isfinite(pdf), pdf, 0.0)
-        return wi, pdf, li, dist
+        return wi, pdf, li_s, dist
 
     if kind == klights.AREA_SPHERE:
         c = _cv3(lt["center"])
@@ -708,9 +710,8 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
         wi = vec * (1.0 / dist)
         facing = n_l.dot(-wi) > 0
         ok = facing & (pdf > 0)
-        li = V3(jnp.where(ok, emit.x, 0.0), jnp.where(ok, emit.y, 0.0),
-                jnp.where(ok, emit.z, 0.0))
-        return wi, pdf, li, dist
+        li_s = jnp.where(ok, np.float32(1.0), np.float32(0.0))
+        return wi, pdf, li_s, dist
 
     if kind == klights.ENV:
         # replicated reference quirk: uniform-sphere direction, angle-space
@@ -725,9 +726,7 @@ def _light_sample(lt, emit: V3, world_radius, p: V3, n_shade: V3, u1, u2):
                         np.float32(1.0 / (2.0 * np.pi * np.pi))
                         / jnp.maximum(sin_theta, 1e-20))
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        ones = jnp.ones_like(u1)
-        li = V3(emit.x * ones, emit.y * ones, emit.z * ones)
-        return wi, pdf, li, dist
+        return wi, pdf, jnp.ones_like(u1), dist
 
     raise ValueError(f"unknown light kind {kind}")
 
@@ -841,11 +840,42 @@ def _light_pdf(lt, p: V3, n_shade: V3, wi: V3):
 # ---------------------------------------------------------------------------
 
 
+def _residual_layout(static, cfg: KernelConfig):
+    """Plane order of the coefficient cache written by the residual forward
+    and consumed by _make_bwd_res_kernel. Returns ({tag: index}, count).
+
+    Per bounce the cache stores: "wb" (hit-emission MIS weight, fully
+    masked), "wenv" (env-miss weight, env scenes), one "B" plane per NEE
+    light (B' = li_scalar * f_unit * |cos| * okf * lobe_scale — every NEE
+    radiance/adjoint term is bilinear in (table color, light emit) with
+    coefficient B'), and "tu" (extension throughput unit incl. lobe scale,
+    pdf division, RR compensation, alive mask). One extra int32 plane per
+    bounce packs sid+1 (bits 0-7), lobe_is_phong (bit 8), to_spec_t (bit 9).
+    """
+    has_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
+    n_b = 1 if (cfg.nee == "single" and len(static["lights"]) > 1) \
+        else len(static["lights"])
+    tags = []
+    for b in range(cfg.max_depth + 1):
+        tags.append(("wb", b))
+        if has_env:
+            tags.append(("wenv", b))
+        if b < cfg.max_depth:
+            for i in range(n_b):
+                tags.append(("B", b, i))
+            tags.append(("tu", b))
+    return {t: k for k, t in enumerate(tags)}, len(tags)
+
+
 def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
-                 grad: bool = False):
+                 grad: bool = False, residual: bool = False):
     """Build the kernel body.
 
-    grad=False: forward — writes (Lx, Ly, Lz) radiance planes.
+    grad=False, residual=False: forward — writes (Lx, Ly, Lz) planes.
+    grad=False, residual=True: forward + coefficient cache — additionally
+    writes the residual planes of _residual_layout, from which the
+    backward recovers every adjoint without re-tracing (the production
+    backward; see _make_bwd_res_kernel).
     grad=True:  path-replay backward (PRB, Vicini et al. 2021 style, under
     detached sampling): replays the exact forward RNG stream, maintains the
     per-channel tail radiance R_b = E_b + T_b * R_{b+1} seeded with the
@@ -853,7 +883,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     factor — emission (hit + NEE light terms), diffuse and specular tables —
     scaled by the upstream cotangent g. Outputs are (3M, R, 128) per-lane
     adjoint planes accumulated across the (sequential) grid, reduced to
-    (M, 3) on the host.
+    (M, 3) on the host. Kept as the O(1)-memory fallback
+    (backward="replay"); the residual backward is ~2x faster end-to-end.
     """
     mats = static["mats"]
     lights = static["lights"]
@@ -884,14 +915,24 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         li = mats["light_index"][m]
         if li >= 0 and li not in light_row:
             light_row[li] = m
+    if residual:
+        res_ix, res_n = _residual_layout(static, cfg)
 
     def kernel(*refs):
+        resf_ref = resi_ref = None
         if grad:
             (seed_ref, diffuse_ref, specular_ref, emission_ref,
              light_emit_ref, env_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
              gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
              dd_ref, ds_ref, de_ref, denv_ref) = refs
+        elif residual:
+            (seed_ref, diffuse_ref, specular_ref, emission_ref,
+             light_emit_ref, env_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = refs
+            res_planes = [None] * res_n
+            res_ints = [None] * (cfg.max_depth + 1)
         else:
             (seed_ref, diffuse_ref, specular_ref, emission_ref,
              light_emit_ref, env_ref,
@@ -972,6 +1013,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 # d emission[sid] from the hit-emission term
                 wbm = jnp.where(emit_mask, wb, 0.0)
                 row_add(acc_e, rows_e, sid, g * beta * wbm)
+            elif residual:
+                res_planes[res_ix[("wb", bounce)]] = \
+                    jnp.where(emit_mask, wb, 0.0)
 
             if env_i is not None:
                 env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
@@ -989,8 +1033,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if grad:
                     # miss-emission term is linear in env radiance
                     acc_env = acc_env + g * beta * wenv
+                elif residual:
+                    res_planes[res_ix[("wenv", bounce)]] = wenv
 
             if bounce == cfg.max_depth:
+                if residual:
+                    res_ints[bounce] = sid + 1
                 continue   # horizon vertex: only its emission terms exist
             cont = alive & valid
 
@@ -1052,51 +1100,65 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             # one (sample, eval, shadow, accumulate) block for light i; the
             # per-light balance weights stay valid under single-light
             # selection because each light's light/bsdf weight pair sums to
-            # 1 independently (see docs/DESIGN.md)
+            # 1 independently (see docs/DESIGN.md).
+            # Every NEE term is bilinear in (raw table color, light emit)
+            # with per-lane coefficient
+            #   B' = li_scalar * f_unit * |cos| * okf * lobe_scale:
+            #   contribution = col_tbl (x) emit * B'
+            #   d emit       = g*beta (x) col_tbl * B'
+            #   d col_tbl    = g*beta (x) emit * B'
+            # which is what the residual mode caches (one plane per light).
+            # col_tbl = the raw table entry the eval color came from
+            # (specular for the plastic phong pick, else diffuse; delta
+            # kinds never reach NEE eval so B' = 0 there).
+            col_nee_tbl = specular.where(lobe_is_phong, diffuse) \
+                if has_plastic else diffuse
+
             def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
                 nonlocal acc_e, acc_env, addc_diff, addc_spec
-                emit_l = V3(light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
-                            light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
-                            light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
-                wi, pdf_l, li_v, dist = _light_sample(
-                    lt, emit_l, world_radius, hp, nrm, u1, u2)
+                emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
+                            light_emit_ref[i, 2])
+                wi, pdf_l, li_s, dist = _light_sample(
+                    lt, world_radius, hp, nrm, u1, u2)
                 wi_l = to_local(s_f, t_f, n_f, wi)
-                f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
-                                                      wo_l, wi_l, eval_lobes,
-                                                      static_exp)
-                f_cos = f_e * jnp.abs(wi_l.z)
+                _, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
+                                                    wo_l, wi_l, eval_lobes,
+                                                    static_exp)
+                ucos = f_unit_e * jnp.abs(wi_l.z)
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
                     w = _safe_div(np.float32(1.0), pdf_l)
                 else:
                     w = _safe_div(np.float32(1.0), pdf_l + pdf_b)
-                ok = nee_act & (pdf_l > 0.0) & ~li_v.is_black() \
-                    & ~f_cos.is_black()
+                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0) & ~color.is_black()
                 occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
                                dist - km.SHADOW_EPSILON)
                 okf = jnp.where(ok & ~occ, w * sel_scale, 0.0)
                 if sel_mask_scalar is not None:
                     okf = okf * sel_mask_scalar
-                contrib = f_cos * li_v * okf
+                bp = li_s * ucos * okf * lobe_scale
+                contrib = col_nee_tbl * emit_l * bp
 
+                if residual:
+                    res_planes[res_ix[("B", bounce, i)]] = bp
                 if grad:
                     gb = g * beta
                     # d light emission (linear in Li): goes to the light's
                     # emitting surface row if it has one, or to the env
                     # radiance leaf for the environment light
                     if i in light_row:
-                        add = gb * f_cos * okf
+                        add = gb * col_nee_tbl * bp
                         r = light_row[i]
                         acc_e[r] = V3(acc_e[r].x + add.x,
                                       acc_e[r].y + add.y,
                                       acc_e[r].z + add.z)
                     elif lt["kind"] == klights.ENV:
-                        acc_env = acc_env + gb * f_cos * okf
+                        acc_env = acc_env + gb * col_nee_tbl * bp
                     # d material color (linear in eval): target by lobe.
                     # Deferred: every NEE/extension term of this bounce
                     # shares one sid plane, so the per-row scatter happens
                     # ONCE per bounce on the summed planes (see below).
-                    coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
-                    addc = gb * li_v * coeff
+                    addc = gb * emit_l * bp
                     to_spec = lobe_is_phong
                     if has_plastic:
                         addc_spec = addc_spec + V3(
@@ -1136,17 +1198,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
 
                 def mk_branch(i, lt):
                     def br(u1, u2):
-                        emit_l = V3(
-                            light_emit_ref[i, 0] * jnp.ones(shp, jnp.float32),
-                            light_emit_ref[i, 1] * jnp.ones(shp, jnp.float32),
-                            light_emit_ref[i, 2] * jnp.ones(shp, jnp.float32))
-                        wi, pdf_l, li_v, dist = _light_sample(
-                            lt, emit_l, world_radius, hp, nrm, u1, u2)
+                        wi, pdf_l, li_s, dist = _light_sample(
+                            lt, world_radius, hp, nrm, u1, u2)
                         is_delta_l = np.float32(
                             1.0 if lt["kind"] in (klights.POINT,
                                                   klights.DIRECTION) else 0.0)
                         return (wi.x, wi.y, wi.z, pdf_l,
-                                li_v.x, li_v.y, li_v.z, dist,
+                                li_s * jnp.ones(shp, jnp.float32), dist,
                                 jnp.full(shp, is_delta_l))
                     return br
 
@@ -1155,27 +1213,33 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     u1, u2)
                 wi = V3(outs[0], outs[1], outs[2])
                 pdf_l = outs[3]
-                li_v = V3(outs[4], outs[5], outs[6])
-                dist = outs[7]
-                is_delta_l = outs[8] > 0.5
+                li_s = outs[4]
+                dist = outs[5]
+                is_delta_l = outs[6] > 0.5
+                # emit of the picked light (scalar select in SMEM domain)
+                emit_l = V3(light_emit_ref[pick, 0], light_emit_ref[pick, 1],
+                            light_emit_ref[pick, 2])
                 wi_l = to_local(s_f, t_f, n_f, wi)
-                f_e, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
-                                                      wo_l, wi_l, eval_lobes,
-                                                      static_exp)
-                f_cos = f_e * jnp.abs(wi_l.z)
+                _, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
+                                                    wo_l, wi_l, eval_lobes,
+                                                    static_exp)
+                ucos = f_unit_e * jnp.abs(wi_l.z)
                 w = jnp.where(is_delta_l,
                               _safe_div(np.float32(1.0), pdf_l),
                               _safe_div(np.float32(1.0), pdf_l + pdf_b))
-                ok = nee_act & (pdf_l > 0.0) & ~li_v.is_black() \
-                    & ~f_cos.is_black()
+                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0) & ~color.is_black()
                 occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
                                dist - km.SHADOW_EPSILON)
                 okf = jnp.where(ok & ~occ, w * np.float32(L), 0.0)
-                ld = f_cos * li_v * okf
+                bp = li_s * ucos * okf * lobe_scale
+                ld = col_nee_tbl * emit_l * bp
 
+                if residual:
+                    res_planes[res_ix[("B", bounce, 0)]] = bp
                 if grad:
                     gb = g * beta
-                    add = gb * f_cos * okf
+                    add = gb * col_nee_tbl * bp
                     for i in range(L):
                         if i in light_row:
                             selm = (pick == i).astype(jnp.float32)
@@ -1186,8 +1250,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         elif lights[i]["kind"] == klights.ENV:
                             selm = (pick == i).astype(jnp.float32)
                             acc_env = acc_env + add * selm
-                    coeff = f_unit_e * jnp.abs(wi_l.z) * lobe_scale * okf
-                    addc = gb * li_v * coeff
+                    addc = gb * emit_l * bp
                     to_spec = lobe_is_phong
                     if has_plastic:
                         addc_spec = addc_spec + V3(
@@ -1232,6 +1295,22 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             else:
                 scale = np.float32(1.0)
                 alive_n = ok
+
+            if residual:
+                t_unit = f_unit_s * _safe_div(jnp.abs(wi_l.z), pdf_s) * scale
+                res_planes[res_ix[("tu", bounce)]] = \
+                    jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                if has_delta or has_plastic:
+                    to_spec_t = (is_mirror | (is_glass & ~glass_refract)
+                                 | lobe_is_phong)
+                else:
+                    to_spec_t = sid < -1   # statically false
+                # packed per-bounce int plane: sid+1 | lobe_is_phong<<8
+                # | to_spec_t<<9 (masks as compare-born int32)
+                res_ints[bounce] = (
+                    (sid + 1)
+                    + lobe_is_phong.astype(jnp.int32) * np.int32(256)
+                    + to_spec_t.astype(jnp.int32) * np.int32(512))
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1311,6 +1390,191 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
             lz_ref[:] = big_l.z
+            if residual:
+                assert all(p is not None for p in res_planes), \
+                    [t for t, k in res_ix.items() if res_planes[k] is None]
+                resf_ref[:] = jnp.stack(res_planes, axis=0)
+                resi_ref[:] = jnp.stack(res_ints, axis=0)
+
+    return kernel
+
+
+def _make_bwd_res_kernel(static, cfg: KernelConfig):
+    """Coefficient-cache backward: consumes the residual planes written by
+    the residual forward (_residual_layout) and computes every table
+    adjoint with pure select/FMA arithmetic — no intersection sweeps, no
+    NEE occlusion rays, no BSDF math, no RNG. Same adjoint algebra as the
+    replay backward (grad=True in _make_kernel): the tail radiance
+    R_{b+1} = (R_b - E_b) / T_b is peeled per bounce, where E_b and T_b are
+    reconstructed bilinearly from the cached coefficients and the (traced)
+    color tables, so inverse-rendering parameter updates reuse one compile.
+    """
+    mats = static["mats"]
+    lights = static["lights"]
+    M = len(mats["kind"])
+    L = len(lights)
+    single = cfg.nee == "single" and L > 1
+    rows_d = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MIRROR]
+    rows_s = [m for m in range(M) if mats["kind"][m] != kbsdf.MAT_MATTE]
+    rows_e = [m for m in range(M) if mats["light_index"][m] >= 0]
+    env_i = next((i for i, lt in enumerate(lights)
+                  if lt["kind"] == klights.ENV), None)
+    light_row = {}
+    for m in range(M):
+        li = mats["light_index"][m]
+        if li >= 0 and li not in light_row:
+            light_row[li] = m
+    has_spec = any(mats["kind"][m] != kbsdf.MAT_MATTE for m in range(M))
+    res_ix, _ = _residual_layout(static, cfg)
+
+    def kernel(seed_ref, diffuse_ref, specular_ref, emission_ref,
+               light_emit_ref, env_ref,
+               gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+               resf_ref, resi_ref,
+               dd_ref, ds_ref, de_ref, denv_ref):
+        pid = pl.program_id(0)
+        g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
+        r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
+        shp = g.x.shape
+        beta = v3_full(g.x, 1.0, 1.0, 1.0)
+        acc_d = [v3_zeros(g.x) for _ in range(M)]
+        acc_s = [v3_zeros(g.x) for _ in range(M)]
+        acc_e = [v3_zeros(g.x) for _ in range(M)]
+        acc_env = v3_zeros(g.x)
+
+        def row_add(acc, rows, sid, val: V3):
+            for m in rows:
+                mrow = sid == m
+                acc[m] = V3(acc[m].x + jnp.where(mrow, val.x, 0.0),
+                            acc[m].y + jnp.where(mrow, val.y, 0.0),
+                            acc[m].z + jnp.where(mrow, val.z, 0.0))
+
+        if single:
+            tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
+
+        for bounce in range(cfg.max_depth + 1):
+            ib = resi_ref[bounce]
+            sid = (ib & np.int32(255)) - 1
+            wb = resf_ref[res_ix[("wb", bounce)]]
+            gb = g * beta
+            # hit-emission adjoint (wb is fully masked in the forward)
+            row_add(acc_e, rows_e, sid, gb * wb)
+            if env_i is not None:
+                wenv = resf_ref[res_ix[("wenv", bounce)]]
+                acc_env = acc_env + gb * wenv
+            if bounce == cfg.max_depth:
+                continue
+
+            lobe_is_phong = (ib & np.int32(256)) != 0
+            to_spec_t = (ib & np.int32(512)) != 0
+            diff_sel = _select_table3(sid, diffuse_ref, rows_d)
+            spec_sel = _select_table3(sid, specular_ref, rows_s) \
+                if has_spec else v3_zeros(g.x)
+            emit_sel = _select_table3(sid, emission_ref, rows_e)
+            col_nee = spec_sel.where(lobe_is_phong, diff_sel)
+
+            # E_b = hit emission + env miss + NEE, all bilinear in cache
+            e_term = emit_sel * wb
+            if env_i is not None:
+                env = V3(env_ref[0, 0], env_ref[0, 1], env_ref[0, 2])
+                e_term = e_term + env * wenv
+            if single:
+                c = tile_seed + np.int32((bounce * 668265263) & 0x7fffffff)
+                c = c ^ jax.lax.shift_right_logical(c, jnp.int32(16))
+                c = c * np.int32(-2048144789)   # 0x85ebca6b
+                c = c ^ jax.lax.shift_right_logical(c, jnp.int32(13))
+                pick = jax.lax.rem(c & np.int32(0x7fffffff), np.int32(L))
+                bp = resf_ref[res_ix[("B", bounce, 0)]]
+                emit_l = V3(light_emit_ref[pick, 0],
+                            light_emit_ref[pick, 1], light_emit_ref[pick, 2])
+                e_term = e_term + col_nee * emit_l * bp
+                add = gb * col_nee * bp
+                for i in range(L):
+                    if i in light_row:
+                        selm = (pick == i).astype(jnp.float32)
+                        r = light_row[i]
+                        acc_e[r] = V3(acc_e[r].x + add.x * selm,
+                                      acc_e[r].y + add.y * selm,
+                                      acc_e[r].z + add.z * selm)
+                    elif lights[i]["kind"] == klights.ENV:
+                        selm = (pick == i).astype(jnp.float32)
+                        acc_env = acc_env + add * selm
+                addc = gb * emit_l * bp
+                addc_diff = V3(jnp.where(lobe_is_phong, 0.0, addc.x),
+                               jnp.where(lobe_is_phong, 0.0, addc.y),
+                               jnp.where(lobe_is_phong, 0.0, addc.z))
+                addc_spec = V3(jnp.where(lobe_is_phong, addc.x, 0.0),
+                               jnp.where(lobe_is_phong, addc.y, 0.0),
+                               jnp.where(lobe_is_phong, addc.z, 0.0))
+            else:
+                addc_diff = v3_zeros(g.x)
+                addc_spec = v3_zeros(g.x)
+                for i, lt in enumerate(lights):
+                    bp = resf_ref[res_ix[("B", bounce, i)]]
+                    emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
+                                light_emit_ref[i, 2])
+                    e_term = e_term + col_nee * emit_l * bp
+                    if i in light_row:
+                        add = gb * col_nee * bp
+                        r = light_row[i]
+                        acc_e[r] = V3(acc_e[r].x + add.x, acc_e[r].y + add.y,
+                                      acc_e[r].z + add.z)
+                    elif lt["kind"] == klights.ENV:
+                        acc_env = acc_env + gb * col_nee * bp
+                    addc = gb * emit_l * bp
+                    addc_spec = addc_spec + V3(
+                        jnp.where(lobe_is_phong, addc.x, 0.0),
+                        jnp.where(lobe_is_phong, addc.y, 0.0),
+                        jnp.where(lobe_is_phong, addc.z, 0.0))
+                    addc_diff = addc_diff + V3(
+                        jnp.where(lobe_is_phong, 0.0, addc.x),
+                        jnp.where(lobe_is_phong, 0.0, addc.y),
+                        jnp.where(lobe_is_phong, 0.0, addc.z))
+
+            # extension: T_b = ext_tbl (x) tu; peel the tail radiance
+            tu = resf_ref[res_ix[("tu", bounce)]]
+            ext_tbl = spec_sel.where(to_spec_t, diff_sel)
+            t_eff = ext_tbl * tu
+            r_next = V3(_safe_div(r_tail.x - e_term.x, t_eff.x),
+                        _safe_div(r_tail.y - e_term.y, t_eff.y),
+                        _safe_div(r_tail.z - e_term.z, t_eff.z))
+            addt = gb * r_next * tu
+            addc_spec = addc_spec + V3(jnp.where(to_spec_t, addt.x, 0.0),
+                                       jnp.where(to_spec_t, addt.y, 0.0),
+                                       jnp.where(to_spec_t, addt.z, 0.0))
+            addc_diff = addc_diff + V3(jnp.where(to_spec_t, 0.0, addt.x),
+                                       jnp.where(to_spec_t, 0.0, addt.y),
+                                       jnp.where(to_spec_t, 0.0, addt.z))
+            row_add(acc_d, rows_d, sid, addc_diff)
+            if has_spec:
+                row_add(acc_s, rows_s, sid, addc_spec)
+            beta = beta * t_eff
+            r_tail = r_next
+
+        def stack_acc(acc):
+            planes = []
+            for m in range(M):
+                planes.extend([acc[m].x, acc[m].y, acc[m].z])
+            return jnp.stack(planes, axis=0)
+
+        arr_d = stack_acc(acc_d)
+        arr_s = stack_acc(acc_s)
+        arr_e = stack_acc(acc_e)
+        arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
+
+        @pl.when(pid == 0)
+        def _():
+            dd_ref[:] = arr_d
+            ds_ref[:] = arr_s
+            de_ref[:] = arr_e
+            denv_ref[:] = arr_env
+
+        @pl.when(pid != 0)
+        def _():
+            dd_ref[:] = dd_ref[:] + arr_d
+            ds_ref[:] = ds_ref[:] + arr_s
+            de_ref[:] = de_ref[:] + arr_e
+            denv_ref[:] = denv_ref[:] + arr_env
 
     return kernel
 
@@ -1399,27 +1663,45 @@ def render_lanes_pallas(scene, o, d, seed: int, cfg: KernelConfig | None = None,
 
 
 def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
-                            interpret: bool = False):
-    """Differentiable megakernel tracer via path-replay backprop.
+                            interpret: bool = False,
+                            backward: str = "residual"):
+    """Differentiable megakernel tracer (detached-sampling gradients).
 
     Returns fn(diffuse, specular, emission, env, o, d, seed) -> (N, 3)
-    radiance with a custom VJP: the backward pass replays the exact forward
-    RNG stream in a second Pallas kernel (no stored path state — O(1)
-    memory in path depth) and returns
+    radiance with a custom VJP returning
     (d_diffuse, d_specular, d_emission, d_env), including the NEE
     light-emission adjoints routed to each light's emitting surface row
     exactly as diff.params.set_params ties them; `env` is the (3,)
     environment radiance (pass zeros for env-free scenes — its cotangent is
     then zero). Ray-origin/direction cotangents are zero (geometry
     derivatives are out of scope, as in the jnp detached-sampling path).
+
+    backward="residual" (production): the forward kernel additionally
+    writes a compact per-bounce coefficient cache (~7 planes/bounce, see
+    _residual_layout) and the backward kernel is pure table-select + FMA
+    arithmetic — no re-tracing, no occlusion sweeps, no RNG. ~2x faster
+    fwd+bwd than replay at ~200 B/lane of HBM residuals.
+    backward="replay": path-replay backprop (PRB, Vicini et al. 2021
+    style) — O(1) memory, the backward re-runs the whole transport with
+    the same RNG stream. Fallback / cross-check.
+
+    When the function is evaluated WITHOUT differentiation, the plain
+    forward kernel runs (no residual writes).
     """
     cfg = cfg or KernelConfig()
+    assert backward in ("residual", "replay"), backward
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
     hw = interpret is False
     fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
-    bwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=True)
+    if backward == "residual":
+        fwd_res_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False,
+                                      residual=True)
+        bwd_res_kernel = _make_bwd_res_kernel(static, cfg)
+        _, res_n = _residual_layout(static, cfg)
+    else:
+        bwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=True)
     m_rows = int(scene.mat_kind.shape[0])
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
@@ -1482,50 +1764,107 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
-    def _fwd(diffuse, specular, emission, env, o, d, seed):
-        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
-        return big_l, (diffuse, specular, emission, env, o, d, seed, big_l)
+    def _acc_blk(nplanes, dtype=jnp.float32):
+        return pl.BlockSpec((nplanes, cfg.rows, LANE), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    def _bwd(res, g):
-        diffuse, specular, emission, env, o, d, seed, big_l = res
+    def _acc_shape(nplanes, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct((nplanes, cfg.rows, LANE), dtype)
+
+    def _reduce(a):
+        return a.sum(axis=(1, 2)).reshape(m_rows, 3)
+
+    def _fwd(diffuse, specular, emission, env, o, d, seed):
+        if backward == "replay":
+            big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+            return big_l, (diffuse, specular, emission, env, o, d, seed,
+                           big_l, None, None)
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
         rows = grid * cfg.rows
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
-        gx, gy, gz = _planes(g, n, npad, rows)
-        flx, fly, flz = _planes(big_l, n, npad, rows)
+        n_bounce = cfg.max_depth + 1
 
-        def acc_blk(nplanes):
+        def res_blk(nplanes):
             return pl.BlockSpec((nplanes, cfg.rows, LANE),
-                                lambda i: (0, 0, 0),
+                                lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
 
-        def acc_shape(nplanes):
-            return jax.ShapeDtypeStruct((nplanes, cfg.rows, LANE),
-                                        jnp.float32)
-
-        dd, ds, de, denv = pl.pallas_call(
-            bwd_kernel, grid=(grid,),
+        *lplanes, resf, resi = pl.pallas_call(
+            fwd_res_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
                       smem((max(n_lights, 1), 3)), smem((1, 3)),
-                      blk, blk, blk, blk, blk, blk,
                       blk, blk, blk, blk, blk, blk],
-            out_specs=[acc_blk(3 * m_rows), acc_blk(3 * m_rows),
-                       acc_blk(3 * m_rows), acc_blk(3)],
-            out_shape=[acc_shape(3 * m_rows), acc_shape(3 * m_rows),
-                       acc_shape(3 * m_rows), acc_shape(3)],
+            out_specs=[blk, blk, blk, res_blk(res_n), res_blk(n_bounce)],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                       for _ in range(3)]
+            + [jax.ShapeDtypeStruct((res_n, rows, LANE), jnp.float32),
+               jax.ShapeDtypeStruct((n_bounce, rows, LANE), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
           emission, _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz, gx, gy, gz, flx, fly, flz)
+          ox, oy, oz, dx, dy, dz)
+        lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
+        big_l = jnp.stack([lx, ly, lz], axis=-1)
+        return big_l, (diffuse, specular, emission, env, o, d, seed,
+                       big_l, resf, resi)
 
-        def reduce(a):
-            return a.sum(axis=(1, 2)).reshape(m_rows, 3)
+    def _bwd(res, g):
+        diffuse, specular, emission, env, o, d, seed, big_l, resf, resi = res
+        n = o.shape[0]
+        npad, grid = _grid(n)
+        blk, smem = _specs(grid)
+        rows = grid * cfg.rows
+        gx, gy, gz = _planes(g, n, npad, rows)
+        flx, fly, flz = _planes(big_l, n, npad, rows)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        light_emit = _light_emit_of(emission, env)
 
-        return (reduce(dd), reduce(ds), reduce(de),
+        if backward == "residual":
+            def res_blk(nplanes):
+                return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+
+            dd, ds, de, denv = pl.pallas_call(
+                bwd_res_kernel, grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          smem((m_rows, 3)), smem((m_rows, 3)),
+                          smem((m_rows, 3)),
+                          smem((max(n_lights, 1), 3)), smem((1, 3)),
+                          blk, blk, blk, blk, blk, blk,
+                          res_blk(res_n), res_blk(cfg.max_depth + 1)],
+                out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
+                           _acc_blk(3 * m_rows), _acc_blk(3)],
+                out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
+                           _acc_shape(3 * m_rows), _acc_shape(3)],
+                interpret=interpret,
+            )(seed_arr, diffuse, specular, emission, light_emit,
+              env.reshape(1, 3), gx, gy, gz, flx, fly, flz, resf, resi)
+        else:
+            ox, oy, oz = _planes(o, n, npad, rows)
+            dx, dy, dz = _planes(d, n, npad, rows)
+            dd, ds, de, denv = pl.pallas_call(
+                bwd_kernel, grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          smem((m_rows, 3)), smem((m_rows, 3)),
+                          smem((m_rows, 3)),
+                          smem((max(n_lights, 1), 3)), smem((1, 3)),
+                          blk, blk, blk, blk, blk, blk,
+                          blk, blk, blk, blk, blk, blk],
+                out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
+                           _acc_blk(3 * m_rows), _acc_blk(3)],
+                out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
+                           _acc_shape(3 * m_rows), _acc_shape(3)],
+                interpret=interpret,
+            )(seed_arr, diffuse, specular, emission, light_emit,
+              env.reshape(1, 3), ox, oy, oz, dx, dy, dz,
+              gx, gy, gz, flx, fly, flz)
+
+        return (_reduce(dd), _reduce(ds), _reduce(de),
                 denv.sum(axis=(1, 2)).reshape(3),
                 jnp.zeros_like(o), jnp.zeros_like(d), None)
 

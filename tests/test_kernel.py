@@ -139,15 +139,17 @@ def test_light_sample_pdf_match(scene):
     wr = scene.world_radius
     for i, lt in enumerate(static["lights"]):
         ref = klights.sample_li(scene.lights, i, wr, p, n_sh, u)
-        emit = wf._cv3([float(x) for x in np.asarray(scene.lights.emit[i])])
-        emit = V3(jnp.full((N,), emit.x), jnp.full((N,), emit.y),
-                  jnp.full((N,), emit.z))
-        wi_k, pdf_k, li_k, dist_k = wf._light_sample(
-            lt, emit, float(np.asarray(wr)), _v3(p), _v3(n_sh),
+        emit = np.asarray(scene.lights.emit[i])
+        wi_k, pdf_k, li_s, dist_k = wf._light_sample(
+            lt, float(np.asarray(wr)), _v3(p), _v3(n_sh),
             u[:, 0], u[:, 1])
         np.testing.assert_allclose(np.asarray(wi_k.x),
                                    np.asarray(ref.wi[:, 0]), atol=5e-5)
         np.testing.assert_allclose(np.asarray(pdf_k), np.asarray(ref.pdf),
+                                   rtol=2e-3, atol=1e-5)
+        # Li factorization: emit (x) li_scalar == reference Li
+        li_k = np.broadcast_to(np.asarray(li_s), (N,))[:, None] * emit[None]
+        np.testing.assert_allclose(li_k, np.asarray(ref.li),
                                    rtol=2e-3, atol=1e-5)
         # pdf_li parity at the sampled directions
         pdf2_r = klights.pdf_li(scene.lights, i, p, n_sh, ref.wi)
@@ -284,3 +286,53 @@ def test_prb_gradients_env_scene():
         assert abs(ad - fd) <= 5e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
     # env radiance must actually receive gradient in an env-lit scene
     assert abs(float(g[3][0])) > 1e-5
+
+
+def test_residual_backward_matches_replay():
+    """The coefficient-cache backward (backward="residual") and the
+    path-replay backward (backward="replay") are two algebraic routes to
+    the SAME detached-sampling adjoint: identical forward radiance and
+    near-identical (f32 rounding) gradients, across all-NEE, single-NEE
+    and env-lit scenes."""
+    cases = [
+        (builders.cornell_box(width=8, height=8),
+         wf.KernelConfig(max_depth=3, rows=8)),
+        (builders.veach_mis(width=16, height=10),
+         wf.KernelConfig(max_depth=3, rows=8, nee="single")),
+        (builders.cornell_box(
+            builders.BOTH_SMALL_SPHERES | {builders.LIGHT_ENVIRONMENT,
+                                           builders.LIGHT_AREA},
+            width=8, height=8),
+         wf.KernelConfig(max_depth=2, rows=8)),
+    ]
+    for scene, cfg in cases:
+        n = 64
+        key = jax.random.key(4)
+        u = jax.random.uniform(key, (n, 2))
+        pid = jnp.arange(n, dtype=jnp.int32)
+        w = scene.camera.width
+        px = (pid % w).astype(jnp.float32) + u[:, 0]
+        py = (pid // w).astype(jnp.float32) + u[:, 1]
+        o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+        env0 = (scene.env_radiance_ if scene.has_env
+                else jnp.zeros(3, jnp.float32))
+        p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
+        seed = jnp.int32(7)
+
+        outs, grads = [], []
+        for bw in ("residual", "replay"):
+            tracer = wf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                                backward=bw)
+
+            def loss(diffuse, specular, emission, env):
+                return jnp.mean(tracer(diffuse, specular, emission, env,
+                                       o, d, seed))
+
+            val, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*p0)
+            outs.append(float(val))
+            grads.append(g)
+        # same forward estimator (identical RNG stream)
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+        for a, b in zip(grads[0], grads[1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
