@@ -112,6 +112,37 @@ def extract_static(scene):
     for i in range(g.n_sphere):
         spheres.append(dict(c=_f(g.sp_center[i]),
                             r=float(np.asarray(g.sp_radius[i]))))
+
+    def _surface_inside_ball_possible(c, r):
+        """Conservative: can ANY scene surface point lie strictly inside the
+        ball (c, r)? Shading points live on surfaces, so if False the
+        sphere-light inside-branch is statically dead (see _light_sample).
+        The light's own coincident sphere shape contributes only boundary
+        points (d^2 == r^2), handled by the boundary no-NEE rule, so it is
+        excluded."""
+        c = np.asarray(c, np.float64)
+        for s in planar:
+            pts = [np.asarray(s[k], np.float64)
+                   for k in ("p0", "p1", "p2", "p3")]
+            if s["kind"] == kshapes.TRI:
+                pts = pts[:3]
+            n = np.asarray(s["n"], np.float64)
+            n = n / max(np.linalg.norm(n), 1e-30)
+            if abs(np.dot(n, c - pts[0])) >= r:
+                continue
+            centroid = np.mean(pts, axis=0)
+            circum = max(np.linalg.norm(p - centroid) for p in pts)
+            if np.linalg.norm(c - centroid) < r + circum:
+                return True
+        for s in spheres:
+            ci = np.asarray(s["c"], np.float64)
+            dist = np.linalg.norm(ci - c)
+            if dist < 1e-9 and abs(s["r"] - r) < 1e-9:
+                continue   # the light's own shape: boundary-only
+            if abs(dist - s["r"]) < r:
+                return True
+        return False
+
     mats = dict(
         kind=[int(k) for k in np.asarray(scene.mat_kind)],
         exponent=[float(v) for v in np.asarray(scene.mat_exponent)],
@@ -137,14 +168,18 @@ def extract_static(scene):
     li = scene.lights
     lights = []
     for i, kind in enumerate(li.kinds):
-        lights.append(dict(
+        rec = dict(
             kind=int(kind),
             position=_f(li.position[i]), direction=_f(li.direction[i]),
             p0=_f(li.p0[i]), p1=_f(li.p1[i]), p2=_f(li.p2[i]),
             p3=_f(li.p3[i]), normal=_f(li.normal[i]),
             area=float(np.asarray(li.area[i])),
             center=_f(li.center[i]), radius=float(np.asarray(li.radius[i])),
-        ))
+        )
+        if int(kind) == klights.AREA_SPHERE:
+            rec["inside_possible"] = _surface_inside_ball_possible(
+                rec["center"], rec["radius"])
+        lights.append(rec)
     # NB a sphere light's own shape MUST stay in its NEE occlusion sweep:
     # the reference measures the shadow-ray distance from the UNOFFSET
     # shading point but traces from the offset origin (ky.cpp:3193 + 614),
@@ -661,55 +696,73 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2):
         r = np.float32(lt["radius"])
         vec_c = c - p
         d2c = jnp.maximum(vec_c.length_squared(), 1e-20)
-        inside = d2c <= r * r
-        dist_c = jnp.sqrt(d2c)
-        inv_dc = 1.0 / dist_c
+        inv_dc = jax.lax.rsqrt(d2c)
+        dist_c = d2c * inv_dc
 
-        # outside: cone sampling with Taylor fallback (ky.cpp:1419-1501)
+        # outside: cone sampling with Taylor fallback (ky.cpp:1419-1501).
+        # The reference's angle-at-center construction (cos_alpha =
+        # sin2*dc/r + cos_t*sqrt(1 - sin2*(dc/r)^2), lp = c + r*n_cone) is
+        # the law-of-cosines route to the NEAREST cone-ray/sphere
+        # intersection, so we take the direct route: the sampled point is
+        # p + wi*ds with ds = dc*cos_t - sqrt(r^2 - d2c*sin2) — identical
+        # mapping (u1,u2) -> lp with 4 fewer sqrt/div ops and no final
+        # normalization (wi comes straight from the cone frame).
         sin2_max = jnp.minimum(r * r / d2c, 1.0)
-        sin_max = _safe_sqrt(sin2_max)
-        inv_sin_max = _safe_div(np.float32(1.0), sin_max, 1.0)
         cos_max = _safe_sqrt(1.0 - sin2_max)
         cos_t = (cos_max - 1.0) * u1 + 1.0
         sin2 = 1.0 - cos_t * cos_t
         tiny = sin2_max < np.float32(0.00068523)
         sin2 = jnp.where(tiny, sin2_max * u1, sin2)
         cos_t = jnp.where(tiny, _safe_sqrt(1.0 - sin2), cos_t)
-        cos_a = sin2 * inv_sin_max + cos_t * _safe_sqrt(
-            1.0 - sin2 * inv_sin_max * inv_sin_max)
-        sin_a = _safe_sqrt(1.0 - cos_a * cos_a)
+        sin_t = _safe_sqrt(sin2)
         phi = u2 * np.float32(km.TWO_PI)
         cphi = jnp.cos(phi)
         sphi = _sin_from_phi_cos(cphi, u2)
         to_c = vec_c * inv_dc
         s_f, t_f, n_f = make_frame(to_c)
-        n_cone = (-s_f) * (sin_a * cphi) \
-            + (-t_f) * (sin_a * sphi) + (-n_f) * cos_a
-        lp_cone = c + n_cone * r
+        # azimuth mirrored (phi + pi) to land on the reference's exact
+        # (u1,u2) -> point mapping (its n_cone negates the tangent axes)
+        wi_cone = s_f * (-sin_t * cphi) + t_f * (-sin_t * sphi) \
+            + n_f * cos_t
+        depth2 = r * r - d2c * sin2
+        ds = dist_c * cos_t - _safe_sqrt(depth2)
         pdf_cone = _safe_div(np.float32(1.0),
                              np.float32(km.TWO_PI) * (1.0 - cos_max))
         pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+        # the surface cosine at the sampled point is sqrt(depth2)/r, so
+        # "facing" (n_l.(-wi) > 0, ky.cpp:1497) is just depth2 > 0
+        outside = d2c > r * r
+        ok_cone = (depth2 > 0) & (pdf_cone > 0) & outside
+
+        if not lt.get("inside_possible", True):
+            # no scene surface can sit strictly inside this light's ball
+            # (extract_static proof); boundary points (a path re-scattering
+            # off the light's own surface) take NO NEE toward it — and the
+            # matching _hit_light_pdf returns 0 there, so MIS routes full
+            # weight to BSDF sampling. Unbiased, and the whole uniform-area
+            # branch below compiles away.
+            li_s = jnp.where(ok_cone, np.float32(1.0), np.float32(0.0))
+            return wi_cone, pdf_cone, li_s, ds
 
         # inside: uniform area sample (ky.cpp:1422-1443)
+        inside = ~outside
         z_u = 1.0 - 2.0 * u1
         r_u = _safe_sqrt(1.0 - z_u * z_u)
         dir_u = V3(r_u * cphi, r_u * sphi, z_u)
         lp_in = c + dir_u * r
         vec_in = lp_in - p
         d2_in = jnp.maximum(vec_in.length_squared(), 1e-20)
-        wi_in = vec_in * jax.lax.rsqrt(d2_in)
+        inv_d_in = jax.lax.rsqrt(d2_in)
+        wi_in = vec_in * inv_d_in
         area = np.float32(4.0 * np.pi * r * r)
         pdf_in = _safe_div(d2_in, area * jnp.abs(n_shade.dot(-wi_in)))
         pdf_in = jnp.where(jnp.isfinite(pdf_in), pdf_in, 0.0)
+        ok_in = (dir_u.dot(-wi_in) > 0) & (pdf_in > 0)
 
-        lp = lp_in.where(inside, lp_cone)
-        n_l = dir_u.where(inside, n_cone)
+        wi = wi_in.where(inside, wi_cone)
         pdf = jnp.where(inside, pdf_in, pdf_cone)
-        vec = lp - p
-        dist = jnp.sqrt(jnp.maximum(vec.length_squared(), 1e-20))
-        wi = vec * (1.0 / dist)
-        facing = n_l.dot(-wi) > 0
-        ok = facing & (pdf > 0)
+        ok = jnp.where(inside, ok_in, ok_cone)
+        dist = jnp.where(inside, d2_in * inv_d_in, ds)
         li_s = jnp.where(ok, np.float32(1.0), np.float32(0.0))
         return wi, pdf, li_s, dist
 
@@ -761,9 +814,14 @@ def _hit_light_pdf(lights, li_idx, o: V3, d: V3, t, nrm):
             pdf_cone = _safe_div(np.float32(1.0),
                                  np.float32(km.TWO_PI) * (1.0 - cos_max))
             pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
-            area = np.float32(4.0 * np.pi * lt["radius"] ** 2)
-            pdf_in = _safe_div(t2, cos_l * area)
-            pi = jnp.where(inside, pdf_in, pdf_cone)
+            if not lt.get("inside_possible", True):
+                # matches _light_sample's no-NEE-from-the-boundary rule:
+                # pdf 0 inside => the MIS weight of a BSDF-sampled hit is 1
+                pi = jnp.where(inside, np.float32(0.0), pdf_cone)
+            else:
+                area = np.float32(4.0 * np.pi * lt["radius"] ** 2)
+                pdf_in = _safe_div(t2, cos_l * area)
+                pi = jnp.where(inside, pdf_in, pdf_cone)
         pdf = jnp.where(li_idx == i, pi, pdf)
     return pdf
 
@@ -807,6 +865,10 @@ def _light_pdf(lt, p: V3, n_shade: V3, wi: V3):
         pdf_cone = _safe_div(np.float32(1.0),
                              np.float32(km.TWO_PI) * (1.0 - cos_max))
         pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+        if not lt.get("inside_possible", True):
+            # boundary/inside points take no NEE toward this light
+            # (see _light_sample) — pdf 0 keeps MIS weights consistent
+            return jnp.where(inside, np.float32(0.0), pdf_cone)
         # inside: re-intersect pdf
         o = _offset_origin(p, n_shade, wi)
         oc = c - o

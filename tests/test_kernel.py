@@ -143,18 +143,31 @@ def test_light_sample_pdf_match(scene):
         wi_k, pdf_k, li_s, dist_k = wf._light_sample(
             lt, float(np.asarray(wr)), _v3(p), _v3(n_sh),
             u[:, 0], u[:, 1])
-        np.testing.assert_allclose(np.asarray(wi_k.x),
-                                   np.asarray(ref.wi[:, 0]), atol=5e-5)
-        np.testing.assert_allclose(np.asarray(pdf_k), np.asarray(ref.pdf),
+        # when extract_static proves no surface sits inside this sphere
+        # light's ball, the kernel takes no NEE from inside/boundary points
+        # (li_s = 0, matching pdf 0 in _light_pdf/_hit_light_pdf) — parity
+        # holds on the outside lanes, which are the only reachable ones
+        cmp = np.ones(N, bool)
+        if lt["kind"] == wf.klights.AREA_SPHERE \
+                and not lt.get("inside_possible", True):
+            d2c = np.sum((np.asarray(p) - np.asarray(lt["center"]))**2, -1)
+            inside = d2c <= lt["radius"] ** 2
+            cmp = ~inside
+            assert (np.asarray(li_s)[inside] == 0).all()
+        np.testing.assert_allclose(np.asarray(wi_k.x)[cmp],
+                                   np.asarray(ref.wi[:, 0])[cmp], atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pdf_k)[cmp],
+                                   np.asarray(ref.pdf)[cmp],
                                    rtol=2e-3, atol=1e-5)
         # Li factorization: emit (x) li_scalar == reference Li
         li_k = np.broadcast_to(np.asarray(li_s), (N,))[:, None] * emit[None]
-        np.testing.assert_allclose(li_k, np.asarray(ref.li),
+        np.testing.assert_allclose(li_k[cmp], np.asarray(ref.li)[cmp],
                                    rtol=2e-3, atol=1e-5)
         # pdf_li parity at the sampled directions
         pdf2_r = klights.pdf_li(scene.lights, i, p, n_sh, ref.wi)
         pdf2_k = wf._light_pdf(lt, _v3(p), _v3(n_sh), wi_k)
-        np.testing.assert_allclose(np.asarray(pdf2_k), np.asarray(pdf2_r),
+        np.testing.assert_allclose(np.asarray(pdf2_k)[cmp],
+                                   np.asarray(pdf2_r)[cmp],
                                    rtol=2e-3, atol=1e-5)
 
 
