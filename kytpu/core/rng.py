@@ -40,20 +40,37 @@ def split_channels(keys: jax.Array, n: int):
     return tuple(ks[:, i] for i in range(n))
 
 
-def uniform(keys: jax.Array, shape_suffix=(), sampler: str = "random") -> jax.Array:
+def uniform(keys: jax.Array, shape_suffix=(), sampler: str = "random",
+            index: jax.Array | None = None) -> jax.Array:
     """U[0,1) draw per key; result shape = keys.shape + shape_suffix.
 
     sampler="debug" reproduces the reference's debug_sampler_t
     (ky.cpp:922-947): every draw is the constant 0.5, making any single
     path fully deterministic — the cheapest bisection oracle.
+
+    sampler="sobol" with `index` = (N,) per-lane sample ids draws from a
+    per-key shuffled Owen-scrambled Sobol sequence (core/lds.py) instead of
+    an independent stream: the key must then be sample-independent (fold
+    only pixel/bounce/purpose — see render.trace_lanes), so that one
+    pixel's samples walk one low-discrepancy point set.
     """
     if sampler == "debug":
         return jnp.full(keys.shape + shape_suffix, 0.5, jnp.float32)
+    if sampler == "sobol" and index is not None:
+        from kytpu.core import lds
+        seeds = jax.vmap(lambda k: jax.random.bits(k, (3,)))(keys)
+        if shape_suffix == ():
+            return lds.owen_sobol1(index, seeds[:, 0], seeds[:, 1])
+        assert shape_suffix == (2,), shape_suffix
+        u0, u1 = lds.owen_sobol2(index, seeds[:, 0], seeds[:, 1],
+                                 seeds[:, 2])
+        return jnp.stack([u0, u1], axis=-1)
     return jax.vmap(lambda k: jax.random.uniform(k, shape_suffix))(keys)
 
 
-def uniform2(keys: jax.Array, sampler: str = "random") -> jax.Array:
-    return uniform(keys, (2,), sampler)
+def uniform2(keys: jax.Array, sampler: str = "random",
+             index: jax.Array | None = None) -> jax.Array:
+    return uniform(keys, (2,), sampler, index)
 
 
 def stratum_grid(spp: int) -> tuple[int, int]:

@@ -91,6 +91,10 @@ def _env_index(scene):
 
 def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
     """Radiance for a batch of primary rays; (N, 3)."""
+    if cfg.sampler not in ("random", "debug"):
+        # the fused one-call-per-bounce draw has no per-purpose key to
+        # attach a Sobol scramble to; use PathConfig(sampler="sobol")
+        raise ValueError(f"fast engine: unsupported sampler {cfg.sampler!r}")
     n = o.shape[0]
     f32 = o.dtype
     L = scene.n_lights

@@ -63,7 +63,7 @@ class PathConfig:
     light_selection: str = "all"        # "all" | "single"
     rr_start: int = 3                   # roulette kicks in after this bounce
     unroll: int = 1                     # scan unroll factor (perf knob)
-    sampler: str = "random"             # "random" | "stratified" | "debug"
+    sampler: str = "random"   # "random" | "stratified" | "debug" | "sobol"
     strata: tuple = (1, 1)              # camera strata grid for "stratified"
 
 
@@ -77,16 +77,21 @@ def _gather_material(scene: kscene.Scene, sid):
             scene.mat_eta[sid], scene.mat_d_prob[sid], scene.mat_s_prob[sid])
 
 
-def _resolve(scene, hit, k_lobe, sampler="random"):
+def _resolve(scene, hit, k_lobe, sampler="random", index=None):
     mk, dif, spec, expo, eta, dp, sp = _gather_material(scene, hit.sid)
-    u_lobe = _sg(krng.uniform(k_lobe, sampler=sampler))
+    u_lobe = _sg(krng.uniform(k_lobe, sampler=sampler, index=index))
     return kbsdf.resolve_bsdf(mk, dif, spec, expo, eta, dp, sp, u_lobe)
 
 
-def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
+def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig, index=None):
     """Radiance for a batch of primary rays. o, d: (N,3); keys: (N,) PRNG.
 
     Returns (N, 3) radiance estimates (one sample per lane).
+
+    With cfg.sampler="sobol", `keys` must be sample-independent (pixel-only
+    folds) and `index` the per-lane sample ids: every (bounce, purpose)
+    draw site then walks its own Owen-scrambled Sobol sequence
+    (core/lds.py) over the pixel's samples.
     """
     n = o.shape[0]
     f32 = o.dtype
@@ -115,20 +120,21 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
 
         bkeys = krng.bounce_key(keys, bounce)
         k_lobe, k_nee, k_bsdf, k_rr, k_peek = krng.split_channels(bkeys, 5)
-        params = _resolve(scene, hit, k_lobe, cfg.sampler)
+        params = _resolve(scene, hit, k_lobe, cfg.sampler, index)
         delta = kbsdf.is_delta(params)
 
         if use_nee:
             ld = knee.sample_all_lights(
                 scene, hit, params, k_nee, cont & ~delta,
-                cfg.strategy, cfg.light_selection, cfg.sampler)
+                cfg.strategy, cfg.light_selection, cfg.sampler, index)
             big_l = big_l + beta * ld
 
         if spec_peek:
             # path_tracing_recursion_t's specular branch (ky.cpp:4339-4350):
             # an independent BSDF draw whose next-hit emission is collected.
-            pk = kbsdf.sample_world(params, hit.normal, hit.wo,
-                                    _sg(krng.uniform2(k_peek, cfg.sampler)))
+            pk = kbsdf.sample_world(
+                params, hit.normal, hit.wo,
+                _sg(krng.uniform2(k_peek, cfg.sampler, index)))
             wi_pk = _sg(pk.wi)
             # reference spawns WITHOUT origin offset here (ky.cpp:4343)
             h_pk = kscene.intersect(scene, hit.position, wi_pk)
@@ -140,14 +146,15 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
                                       beta * contrib, 0.0)
 
         # extension ray
-        bs = kbsdf.sample_world(params, hit.normal, hit.wo,
-                                _sg(krng.uniform2(k_bsdf, cfg.sampler)))
+        bs = kbsdf.sample_world(
+            params, hit.normal, hit.wo,
+            _sg(krng.uniform2(k_bsdf, cfg.sampler, index)))
         wi = _sg(bs.wi)
         pdf = _sg(bs.pdf)
         ok = cont & ~_black(bs.f) & (pdf != 0.0)
 
         throughput = bs.f * km.safe_div(km.absdot(wi, hit.normal), pdf)[:, None]
-        u_rr = _sg(krng.uniform(k_rr, sampler=cfg.sampler))
+        u_rr = _sg(krng.uniform(k_rr, sampler=cfg.sampler, index=index))
 
         if rr_beta_q:
             # q = max(.05, 1 - beta_max) AFTER the throughput update
@@ -188,17 +195,18 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
     return big_l
 
 
-def li_direct_lighting(scene: kscene.Scene, o, d, keys, cfg: PathConfig):
+def li_direct_lighting(scene: kscene.Scene, o, d, keys, cfg: PathConfig,
+                       index=None):
     """Emission + NEE only (direct_lighting_t, ky.cpp:4125-4155)."""
     n = o.shape[0]
     hit = kscene.intersect(scene, o, d)
     lo = jnp.where(hit.valid[:, None], hit.emission, scene.env_radiance(n))
     k_lobe, k_nee = krng.split_channels(keys, 2)
-    params = _resolve(scene, hit, k_lobe, cfg.sampler)
+    params = _resolve(scene, hit, k_lobe, cfg.sampler, index)
     active = hit.valid & ~kbsdf.is_delta(params)
     ld = knee.sample_all_lights(scene, hit, params, k_nee, active,
                                 cfg.strategy, cfg.light_selection,
-                                cfg.sampler)
+                                cfg.sampler, index)
     return lo + ld
 
 

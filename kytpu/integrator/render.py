@@ -29,11 +29,20 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
     (root key, sample_id, pixel_id) only, so any partition of the lanes
     across passes or devices produces bitwise-identical radiance.
     """
-    keys = jax.vmap(
-        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
-    )(sample_ids, pixel_ids)
+    if getattr(cfg, "sampler", "random") == "sobol":
+        # low-discrepancy mode: keys fold ONLY the pixel id, so each
+        # (pixel, bounce, purpose) site owns one scramble; the sample id
+        # is the Sobol point index (core/lds.py). Still sharding-invariant:
+        # a lane's draws depend on (root key, pixel_id, sample_id) alone.
+        keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
+        index = sample_ids
+    else:
+        keys = jax.vmap(
+            lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
+        )(sample_ids, pixel_ids)
+        index = None
     k_cam, k_path = krng.split_channels(keys, 2)
-    u = krng.uniform2(k_cam, cfg.sampler)
+    u = krng.uniform2(k_cam, cfg.sampler, index)
     if getattr(cfg, "strata", None) and cfg.sampler == "stratified":
         # jittered camera strata over the sample index (completes the
         # reference's stratified_sampler_t stub, ky.cpp:978-985)
@@ -47,10 +56,10 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
     if mode == "aov":
         return kpath.li_aov(scene, o, d, k_path, aov)
     if mode == "direct":
-        return kpath.li_direct_lighting(scene, o, d, k_path, cfg)
+        return kpath.li_direct_lighting(scene, o, d, k_path, cfg, index)
     if mode == "fast" or isinstance(cfg, kfast.FastConfig):
         return kfast.li_path_fast(scene, o, d, k_path, cfg)
-    return kpath.li_path(scene, o, d, k_path, cfg)
+    return kpath.li_path(scene, o, d, k_path, cfg, index)
 
 
 _render_pass = jax.jit(trace_lanes, static_argnames=("cfg", "mode", "aov"))

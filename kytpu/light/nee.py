@@ -130,7 +130,8 @@ def _estimate_one_light(scene, i, hit, params, u_light, u_bsdf, active,
 
 
 def sample_all_lights(scene, hit, params, keys, active, strategy: str,
-                      light_selection: str = "all", sampler: str = "random"):
+                      light_selection: str = "all", sampler: str = "random",
+                      index=None):
     """Direct lighting at the hit wavefront. Returns (N,3).
 
     `active` must already mask out misses and (for skip-specular semantics)
@@ -142,11 +143,11 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
 
     if light_selection == "single":
         k_sel, k_draw = krng.split_channels(keys, 2)
-        u_sel = krng.uniform(k_sel, sampler=sampler)
+        u_sel = krng.uniform(k_sel, sampler=sampler, index=index)
         idx = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
         k_l, k_b = krng.split_channels(k_draw, 2)
-        u_light = krng.uniform2(k_l, sampler)
-        u_bsdf = krng.uniform2(k_b, sampler)
+        u_light = krng.uniform2(k_l, sampler, index)
+        u_bsdf = krng.uniform2(k_b, sampler, index)
         ld = jnp.zeros_like(hit.position)
         for i in range(n_lights):
             contrib = _estimate_one_light(
@@ -159,8 +160,8 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
     for i in range(n_lights):
         ki = krng.bounce_key(keys, 1000 + i)
         k_l, k_b = krng.split_channels(ki, 2)
-        u_light = krng.uniform2(k_l, sampler)
-        u_bsdf = krng.uniform2(k_b, sampler)
+        u_light = krng.uniform2(k_l, sampler, index)
+        u_bsdf = krng.uniform2(k_b, sampler, index)
         ld = ld + _estimate_one_light(
             scene, i, hit, params, u_light, u_bsdf, active, strategy)
     return ld
