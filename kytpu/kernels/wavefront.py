@@ -59,6 +59,13 @@ class KernelConfig:
     rr_start: int = 3
     rows: int = 64          # lanes per tile = rows * 128
     nee: str = "all"        # "all" lights per vertex | "single" uniform pick
+    # "random": on-core PRNG (hash fallback under interpret).
+    # "sobol": in-kernel hash-based Owen-scrambled (0,2)-sequence (Burley,
+    # JCGT 2020) — the kernel takes two extra int32 lane planes
+    # (sample index, pixel id); every draw site gets an independently
+    # shuffled+scrambled copy of the first two Sobol dimensions. Pure int
+    # arithmetic, so interpret == TPU bitwise.
+    sampler: str = "random"
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +222,78 @@ def _uniform(shape):
     return _bits_to_unit(bits)
 
 
+# -- int32 Owen-Sobol machinery (Mosaic-safe: logical shifts, wrapping muls,
+#    no uint32) --------------------------------------------------------------
+
+
+def _i32(c: int):
+    c &= 0xFFFFFFFF
+    return np.int32(c - (1 << 32) if c >= (1 << 31) else c)
+
+
+def _srl(x, k: int):
+    return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+
+def _rev_bits(x):
+    """Bit reversal of an int32 plane (5 swap stages)."""
+    x = (_srl(x, 1) & np.int32(0x55555555)) | ((x & np.int32(0x55555555)) << 1)
+    x = (_srl(x, 2) & np.int32(0x33333333)) | ((x & np.int32(0x33333333)) << 2)
+    x = (_srl(x, 4) & np.int32(0x0F0F0F0F)) | ((x & np.int32(0x0F0F0F0F)) << 4)
+    x = (_srl(x, 8) & np.int32(0x00FF00FF)) | ((x & np.int32(0x00FF00FF)) << 8)
+    return _srl(x, 16) | (x << 16)
+
+
+def _superset_xor(x):
+    """z_j = XOR_{k >= j, j subset k} x_k — the GF(2) superset (odd-zeta)
+    transform in 5 word-parallel stages. bit-reverse(z) is a valid second
+    (0,2)-sequence partner to the radical inverse (generator matrix =
+    Pascal/Sierpinski, upper-triangular with odd diagonal, via Lucas'
+    theorem) — same elementary-interval guarantees as the direction-number
+    dim-2 in core/lds.py:66-74, NOT bitwise equal to it, and 5 ops instead
+    of a 32-step loop (test_kernel.py proves the (0,2) property)."""
+    x = x ^ (_srl(x, 1) & np.int32(0x55555555))
+    x = x ^ (_srl(x, 2) & np.int32(0x33333333))
+    x = x ^ (_srl(x, 4) & np.int32(0x0F0F0F0F))
+    x = x ^ (_srl(x, 8) & np.int32(0x00FF00FF))
+    return x ^ (_srl(x, 16) & np.int32(0x0000FFFF))
+
+
+def _lk_hash(x, seed):
+    """Laine-Karras permutation: an Owen scramble of the reversed-bit tree
+    (same constants as core/lds.py:50-58)."""
+    x = x + seed
+    x = x ^ (x * _i32(0x6C50B47C))
+    x = x ^ (x * _i32(0xB82F1E52))
+    x = x ^ (x * _i32(0xC7AFE638))
+    x = x ^ (x * _i32(0x8D22F6E6))
+    return x
+
+
+def _pix_hash(pid, seed):
+    """Per-lane scramble base from (pixel id, render seed): lowbias32."""
+    x = pid ^ (seed * np.int32(-1640531527))           # 0x9E3779B9
+    x = x ^ _srl(x, 16)
+    x = x * _i32(0x21F0AAAD)
+    x = x ^ _srl(x, 15)
+    x = x * _i32(0x735A2D97)
+    return x ^ _srl(x, 15)
+
+
+def _site_seeds(ctr: int):
+    """Three decorrelated 32-bit constants for draw site `ctr` (host-side
+    splitmix64; trace-time python ints)."""
+    out = []
+    x = (ctr * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) & ((1 << 64) - 1)
+    for _ in range(3):
+        x = (x + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        out.append((z ^ (z >> 31)) & 0xFFFFFFFF)
+    return out
+
+
 class _Rng:
     """Per-kernel-instance uniform source.
 
@@ -222,14 +301,49 @@ class _Rng:
     lowbias32-style integer hash of (seed, draw counter, lane id) — needed
     because the Pallas TPU interpreter's prng_random_bits returns zeros;
     also usable as a portable fallback.
+
+    sobol=(sample_index_plane, pixel_hash_plane) switches every draw to a
+    hash-based Owen-scrambled Sobol (0,2)-sequence: uniform2() yields one
+    2D point of a per-site shuffled+scrambled (0,2) pair, uniform() a
+    scrambled van-der-Corput value. Draw sites are indexed by the static
+    trace-time counter, so forward and replay-backward streams align
+    exactly as in the PRNG modes.
     """
 
-    def __init__(self, seed_scalar, hw: bool):
+    def __init__(self, seed_scalar, hw: bool, sobol=None):
         self.hw = hw
         self.seed = seed_scalar
         self.ctr = 0
+        self.sobol = sobol is not None
+        if sobol is not None:
+            si, ph = sobol
+            self.si_rev = _rev_bits(si)   # rev(index): shared by all sites
+            self.ph = ph
+
+    def uniform2(self, shape):
+        """One 2D point: stratified (0,2) pair under sobol, else two
+        independent draws."""
+        if not self.sobol:
+            return self.uniform(shape), self.uniform(shape)
+        self.ctr += 1
+        c1, c2, c3 = _site_seeds(self.ctr)
+        # index shuffle (Owen shuffle in reversed-bit space): t = rev(i)
+        t = _lk_hash(self.si_rev, self.ph ^ _i32(c1))
+        i = _rev_bits(t)
+        # dim0 = rev(i) = t; Owen value scramble nested(d0) = rev(lk(rev(d0)))
+        u1 = _bits_to_unit(_rev_bits(_lk_hash(i, self.ph ^ _i32(c2))))
+        # dim1 = rev(superset(i)); nested(d1) = rev(lk(superset(i)))
+        u2 = _bits_to_unit(_rev_bits(_lk_hash(_superset_xor(i),
+                                              self.ph ^ _i32(c3))))
+        return u1, u2
 
     def uniform(self, shape):
+        if self.sobol:
+            self.ctr += 1
+            c1, c2, _ = _site_seeds(self.ctr)
+            t = _lk_hash(self.si_rev, self.ph ^ _i32(c1))
+            return _bits_to_unit(
+                _rev_bits(_lk_hash(_rev_bits(t), self.ph ^ _i32(c2))))
         if self.hw:
             return _uniform(shape)
         self.ctr += 1
@@ -980,31 +1094,35 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     if residual:
         res_ix, res_n = _residual_layout(static, cfg)
 
+    use_sobol = cfg.sampler == "sobol"
+
     def kernel(*refs):
         resf_ref = resi_ref = None
+        (seed_ref, diffuse_ref, specular_ref, emission_ref,
+         light_emit_ref, env_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:12]
+        rest = list(refs[12:])
+        if use_sobol:
+            si_ref = rest.pop(0)    # per-lane sample index (int32)
+            pix_ref = rest.pop(0)   # per-lane pixel id (int32)
         if grad:
-            (seed_ref, diffuse_ref, specular_ref, emission_ref,
-             light_emit_ref, env_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-             dd_ref, ds_ref, de_ref, denv_ref) = refs
+            (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+             dd_ref, ds_ref, de_ref, denv_ref) = rest
         elif residual:
-            (seed_ref, diffuse_ref, specular_ref, emission_ref,
-             light_emit_ref, env_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = refs
+            (lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = rest
             res_planes = [None] * res_n
             res_ints = [None] * (cfg.max_depth + 1)
         else:
-            (seed_ref, diffuse_ref, specular_ref, emission_ref,
-             light_emit_ref, env_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             lx_ref, ly_ref, lz_ref) = refs
+            (lx_ref, ly_ref, lz_ref) = rest
         pid = pl.program_id(0)
         tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
-        if hw_rng:
-            pltpu.prng_seed(tile_seed)
-        rng = _Rng(tile_seed, hw_rng)
+        if use_sobol:
+            rng = _Rng(tile_seed, False,
+                       sobol=(si_ref[:], _pix_hash(pix_ref[:], seed_ref[0])))
+        else:
+            if hw_rng:
+                pltpu.prng_seed(tile_seed)
+            rng = _Rng(tile_seed, hw_rng)
 
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -1250,8 +1368,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 # lax.switch runs ONLY the chosen light's sampler; the
                 # (heavier) BSDF eval + occlusion sweep + adjoints run once
                 # on the switch outputs.
-                u1 = rng.uniform(shp)
-                u2 = rng.uniform(shp)
+                u1, u2 = rng.uniform2(shp)
                 c = tile_seed + np.int32((bounce * 668265263) & 0x7fffffff)
                 c = c ^ jax.lax.shift_right_logical(c, jnp.int32(16))
                 c = c * np.int32(-2048144789)   # 0x85ebca6b
@@ -1326,16 +1443,20 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     else:
                         addc_diff = addc_diff + addc
             else:
+                # ONE (u1, u2) pair shared by every light's NEE sample:
+                # each light term is an independently unbiased estimator, so
+                # correlating them across lights changes no expectation (the
+                # sum's variance is unchanged to first order because the
+                # lights' sample maps are unrelated), and it saves
+                # 2*(L-1) RNG draws per bounce (~4% of the veach forward)
+                u1, u2 = rng.uniform2(shp)
                 for i, lt in enumerate(lights):
-                    u1 = rng.uniform(shp)
-                    u2 = rng.uniform(shp)
                     ld = ld + nee_light(i, lt, u1, u2, np.float32(1.0))
             big_l = big_l + beta * ld
             e_term = e_term + ld
 
             # ---- extension sample ----
-            u1 = rng.uniform(shp)
-            u2 = rng.uniform(shp)
+            u1, u2 = rng.uniform2(shp)
             f_s, wi_l, pdf_s, delta_s, f_unit_s, glass_refract = _bsdf_sample(
                 kind, color, color2, eta, exponent, wo_l, u1, u2, lobes,
                 static_exp)
@@ -1655,6 +1776,12 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     same compiled kernel serves parameter updates / inverse rendering);
     `seed` is a traced int32 scalar. One Mosaic compile per
     (geometry, cfg, lane count).
+
+    With cfg.sampler == "sobol" the signature gains two (N,) int32 lane
+    arrays: fn(scene, o, d, seed, sample_index, pixel_id) — the Owen
+    scramble is a pure function of (seed, pixel_id, draw site), and
+    sample_index walks the (0,2)-sequence, so accumulating passes with a
+    FIXED seed and increasing sample indices yields stratified pixels.
     """
     cfg = cfg or KernelConfig()
     if interpret is True:
@@ -1666,9 +1793,10 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     m_rows = int(scene.mat_kind.shape[0])
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
+    use_sobol = cfg.sampler == "sobol"
 
     @jax.jit
-    def trace(scene, o, d, seed):
+    def trace(scene, o, d, seed, si=None, pix=None):
         n = o.shape[0]
         tile = cfg.rows * LANE
         npad = ((n + tile - 1) // tile) * tile
@@ -1678,6 +1806,11 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
             pad = jnp.zeros((npad - n,), jnp.float32)
             return [jnp.concatenate([v[:, i], pad])
                     .reshape(grid * cfg.rows, LANE) for i in range(3)]
+
+        def iplane(v):
+            pad = jnp.zeros((npad - n,), jnp.int32)
+            return jnp.concatenate([v.astype(jnp.int32), pad]) \
+                .reshape(grid * cfg.rows, LANE)
 
         ox, oy, oz = planes(o)
         dx, dy, dz = planes(d)
@@ -1692,6 +1825,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
         env = (scene.env_radiance_ if has_env
                else jnp.zeros(3, jnp.float32)).reshape(1, 3)
 
+        extra = [iplane(si), iplane(pix)] if use_sobol else []
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -1703,13 +1837,13 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                 smem((max(n_lights, 1), 3)),                # light emit
                 smem((1, 3)),                               # env radiance
                 blk, blk, blk, blk, blk, blk,
-            ],
+            ] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
         )(seed_arr, scene.mat_diffuse, scene.mat_specular, scene.emission,
-          light_emit, env, ox, oy, oz, dx, dy, dz)
+          light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
 
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
@@ -1749,6 +1883,11 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
 
     When the function is evaluated WITHOUT differentiation, the plain
     forward kernel runs (no residual writes).
+
+    With cfg.sampler == "sobol" the returned fn takes two extra (N,) int32
+    arrays (sample_index, pixel_id) after `seed`; they are nondifferentiable
+    and must be identical between the forward and backward (the replay
+    backward re-draws the same Owen-Sobol stream from them).
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
@@ -1772,10 +1911,19 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     env_row = next((i for i, k in enumerate(scene.lights.kinds)
                     if int(k) == klights.ENV), None) if n_lights else None
 
+    use_sobol = cfg.sampler == "sobol"
+
     def _planes(v, n, npad, rows):
         pad = jnp.zeros((npad - n,), jnp.float32)
         return [jnp.concatenate([v[:, i], pad]).reshape(rows, LANE)
                 for i in range(3)]
+
+    def _iplanes(si, pix, n, npad, rows):
+        if not use_sobol:
+            return []
+        pad = jnp.zeros((npad - n,), jnp.int32)
+        return [jnp.concatenate([v.astype(jnp.int32), pad]).reshape(rows, LANE)
+                for v in (si, pix)]
 
     def _grid(n):
         tile = cfg.rows * LANE
@@ -1800,29 +1948,32 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return emit
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, env, o, d, seed):
-        return _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+    def trace(diffuse, specular, emission, env, o, d, seed, si=None,
+              pix=None):
+        return _fwd_impl(diffuse, specular, emission, env, o, d, seed, si,
+                         pix)
 
-    def _fwd_impl(diffuse, specular, emission, env, o, d, seed):
+    def _fwd_impl(diffuse, specular, emission, env, o, d, seed, si, pix):
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
         rows = grid * cfg.rows
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
+        extra = _iplanes(si, pix, n, npad, rows)
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
                       smem((max(n_lights, 1), 3)), smem((1, 3)),
-                      blk, blk, blk, blk, blk, blk],
+                      blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
           emission, _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz)
+          ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
@@ -1836,17 +1987,20 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     def _reduce(a):
         return a.sum(axis=(1, 2)).reshape(m_rows, 3)
 
-    def _fwd(diffuse, specular, emission, env, o, d, seed):
+    def _fwd(diffuse, specular, emission, env, o, d, seed, si=None,
+             pix=None):
         if backward == "replay":
-            big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+            big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed,
+                              si, pix)
             return big_l, (diffuse, specular, emission, env, o, d, seed,
-                           big_l, None, None)
+                           si, pix, big_l, None, None)
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
         rows = grid * cfg.rows
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
+        extra = _iplanes(si, pix, n, npad, rows)
         n_bounce = cfg.max_depth + 1
 
         def res_blk(nplanes):
@@ -1859,7 +2013,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
                       smem((max(n_lights, 1), 3)), smem((1, 3)),
-                      blk, blk, blk, blk, blk, blk],
+                      blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk, res_blk(res_n), res_blk(n_bounce)],
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                        for _ in range(3)]
@@ -1868,14 +2022,15 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
           emission, _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz)
+          ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
         big_l = jnp.stack([lx, ly, lz], axis=-1)
         return big_l, (diffuse, specular, emission, env, o, d, seed,
-                       big_l, resf, resi)
+                       si, pix, big_l, resf, resi)
 
     def _bwd(res, g):
-        diffuse, specular, emission, env, o, d, seed, big_l, resf, resi = res
+        (diffuse, specular, emission, env, o, d, seed, si, pix, big_l,
+         resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -1909,26 +2064,28 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         else:
             ox, oy, oz = _planes(o, n, npad, rows)
             dx, dy, dz = _planes(d, n, npad, rows)
+            extra = _iplanes(si, pix, n, npad, rows)
             dd, ds, de, denv = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
                           smem((m_rows, 3)),
                           smem((max(n_lights, 1), 3)), smem((1, 3)),
-                          blk, blk, blk, blk, blk, blk,
-                          blk, blk, blk, blk, blk, blk],
+                          blk, blk, blk, blk, blk, blk]
+                + [blk] * len(extra)
+                + [blk, blk, blk, blk, blk, blk],
                 out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
                            _acc_blk(3 * m_rows), _acc_blk(3)],
                 out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
                            _acc_shape(3 * m_rows), _acc_shape(3)],
                 interpret=interpret,
             )(seed_arr, diffuse, specular, emission, light_emit,
-              env.reshape(1, 3), ox, oy, oz, dx, dy, dz,
+              env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra,
               gx, gy, gz, flx, fly, flz)
 
         return (_reduce(dd), _reduce(ds), _reduce(de),
                 denv.sum(axis=(1, 2)).reshape(3),
-                jnp.zeros_like(o), jnp.zeros_like(d), None)
+                jnp.zeros_like(o), jnp.zeros_like(d), None, None, None)
 
     trace.defvjp(_fwd, _bwd)
     return jax.jit(trace)
@@ -1940,14 +2097,20 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
     """Full-frame render through the megakernel -> (H, W, 3) float32.
 
     Camera ray generation + jitter run as (cheap) XLA ops outside the
-    kernel; each pass traces up to rays_per_pass lanes. Pass seeds fold the
-    pass index so every sample draws an independent in-kernel stream.
+    kernel; each pass traces up to rays_per_pass lanes. With the default
+    sampler, pass seeds fold the pass index so every sample draws an
+    independent in-kernel stream; with cfg.sampler == "sobol" the seed is
+    held FIXED and the per-lane sample index advances instead — camera
+    jitter and every in-kernel draw site walk per-pixel Owen-scrambled
+    (0,2)-sequences (camera dims via core/lds.py, path dims in-kernel).
     """
     import numpy as np
 
+    from kytpu.core import rng as krng
     from kytpu.scene import scene as kscene
 
     cfg = cfg or KernelConfig()
+    use_sobol = cfg.sampler == "sobol"
     tracer = make_pallas_tracer(scene, cfg, interpret)
     cam = scene.camera
     w, h = cam.width, cam.height
@@ -1959,21 +2122,40 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
     py0 = (pid // w).astype(jnp.float32)
     key = jax.random.key(seed)
 
-    @jax.jit
-    def one_pass(scene, kk, seed_val):
-        u = jax.random.uniform(kk, (k * npix, 2))
-        px = jnp.tile(px0, k) + u[:, 0]
-        py = jnp.tile(py0, k) + u[:, 1]
-        o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
-        out = tracer(scene, o, d, seed_val)
-        return out.reshape(k, npix, 3).sum(axis=0)
+    if use_sobol:
+        pid_k = jnp.tile(pid, k)
+        # camera-jitter draw site: per-pixel keys, sample-independent
+        cam_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pid_k)
+
+        @jax.jit
+        def one_pass(scene, s_base, seed_val):
+            si = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32), npix)
+            u = krng.uniform2(cam_keys, "sobol", si)
+            px = jnp.tile(px0, k) + u[:, 0]
+            py = jnp.tile(py0, k) + u[:, 1]
+            o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+            out = tracer(scene, o, d, seed_val, si, pid_k)
+            return out.reshape(k, npix, 3).sum(axis=0)
+    else:
+        @jax.jit
+        def one_pass(scene, kk, seed_val):
+            u = jax.random.uniform(kk, (k * npix, 2))
+            px = jnp.tile(px0, k) + u[:, 0]
+            py = jnp.tile(py0, k) + u[:, 1]
+            o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+            out = tracer(scene, o, d, seed_val)
+            return out.reshape(k, npix, 3).sum(axis=0)
 
     accum = jnp.zeros((npix, 3), jnp.float32)
     s0 = 0
     p = 0
     while s0 < spp:
-        accum = accum + one_pass(scene, jax.random.fold_in(key, p),
-                                 jnp.int32(seed + 7919 * p))
+        if use_sobol:
+            accum = accum + one_pass(scene, jnp.int32(p * k),
+                                     jnp.int32(seed))
+        else:
+            accum = accum + one_pass(scene, jax.random.fold_in(key, p),
+                                     jnp.int32(seed + 7919 * p))
         s0 += k
         p += 1
     img = (accum / float(p * k)).reshape(h, w, 3)

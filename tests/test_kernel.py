@@ -301,6 +301,118 @@ def test_prb_gradients_env_scene():
     assert abs(float(g[3][0])) > 1e-5
 
 
+def test_sobol_bit_machinery():
+    """The in-kernel int32 Owen-Sobol primitives agree bitwise with the
+    uint32 reference in core/lds.py where they implement the same map, and
+    the (dim0, dim1) pair is a genuine (0,2)-sequence (every elementary
+    interval of every 2^m-aligned block holds exactly one point), both raw
+    and through the full shuffle+scramble path."""
+    from kytpu.core import lds
+
+    idx = np.random.default_rng(0).integers(0, 2**31, 2048).astype(np.int32)
+    i_u32 = jnp.asarray(idx.view(np.uint32))
+    i_i32 = jnp.asarray(idx)
+    np.testing.assert_array_equal(
+        np.asarray(wf._rev_bits(i_i32)).view(np.uint32),
+        np.asarray(lds.reverse_bits(i_u32)))
+    np.testing.assert_array_equal(
+        np.asarray(wf._lk_hash(i_i32, np.int32(12345))).view(np.uint32),
+        np.asarray(lds._laine_karras(i_u32, jnp.uint32(12345))))
+
+    def assert_02(x, y, total):
+        for m in range(0, 7):
+            n = 1 << m
+            for blk in range(total // n):
+                xs, ys = x[blk * n:(blk + 1) * n], y[blk * n:(blk + 1) * n]
+                for a in range(m + 1):
+                    cells = set(zip((xs * (1 << a)).astype(int),
+                                    (ys * (1 << (m - a))).astype(int)))
+                    assert len(cells) == n, (m, blk, a)
+
+    i = jnp.arange(256, dtype=jnp.int32)
+    d0 = np.asarray(wf._rev_bits(i)).view(np.uint32) / 2**32
+    d1 = np.asarray(wf._rev_bits(wf._superset_xor(i))).view(np.uint32) / 2**32
+    assert_02(d0, d1, 256)
+
+    ph = jnp.full((256,), np.int32(-1234567))
+    rng = wf._Rng(np.int32(42), False, sobol=(i, ph))
+    u1, u2 = rng.uniform2((256,))
+    assert_02(np.asarray(u1), np.asarray(u2), 256)
+    # 1D sites are stratified too
+    u = np.asarray(rng.uniform((256,)))
+    assert sorted(set((u * 256).astype(int))) == list(range(256))
+    # distinct draw sites are decorrelated: same strata test must FAIL
+    u1b, _ = rng.uniform2((256,))
+    cells = set(zip((np.asarray(u1) * 16).astype(int),
+                    (np.asarray(u1b) * 16).astype(int)))
+    assert 150 < len(cells) < 256
+
+
+def test_sobol_kernel_render_matches_fast():
+    """In-kernel Owen-Sobol render converges to the fast-integrator mean."""
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.render import render
+
+    scene = builders.cornell_box(width=16, height=16)
+    img_k = np.asarray(wf.render_pallas(
+        scene, spp=48, seed=3,
+        cfg=wf.KernelConfig(max_depth=3, rows=8, sampler="sobol"),
+        interpret=True))
+    img_f = np.asarray(render(scene, spp=48, seed=5,
+                              cfg=FastConfig(max_depth=3)))
+    d4 = lambda a: a.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))  # noqa: E731
+    err = np.abs(d4(img_k) - d4(img_f)).mean()
+    assert err < 0.03, err
+
+
+def test_sobol_prb_gradients():
+    """Replay backward re-draws the identical Owen-Sobol stream from
+    (seed, sample index, pixel id): residual and replay backwards agree,
+    and both match finite differences of the deterministic forward."""
+    scene = builders.cornell_box(width=8, height=8)
+    cfg = wf.KernelConfig(max_depth=3, rows=8, sampler="sobol")
+    n = 64
+    pid = jnp.arange(n, dtype=jnp.int32)
+    si = jnp.full((n,), 2, jnp.int32)
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    env0 = jnp.zeros(3, jnp.float32)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+
+    grads, losses = [], []
+    for bw in ("residual", "replay"):
+        tracer = wf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                            backward=bw)
+
+        def loss(diffuse, specular, emission):
+            return jnp.mean(tracer(diffuse, specular, emission, env0,
+                                   o, d, seed, si, pid))
+
+        val, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(*p0)
+        losses.append(float(val))
+        grads.append(g)
+        if bw == "replay":
+            em = np.asarray(scene.emission)
+            light_row = int(np.argmax(em.sum(axis=1)))
+            eps = 1e-2
+            for argi, idx in [(0, (2, 0)), (2, (light_row, 0))]:
+                ap = list(p0); am = list(p0)
+                ap[argi] = p0[argi].at[idx].add(eps)
+                am[argi] = p0[argi].at[idx].add(-eps)
+                fd = (float(loss(*ap)) - float(loss(*am))) / (2 * eps)
+                ad = float(g[argi][idx])
+                assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), \
+                    (argi, idx, ad, fd)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(grads[0], grads[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_residual_backward_matches_replay():
     """The coefficient-cache backward (backward="residual") and the
     path-replay backward (backward="replay") are two algebraic routes to
