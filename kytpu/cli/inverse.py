@@ -39,6 +39,12 @@ def main(argv=None):
                    help="also halve+recover emission (harder: brightness "
                         "is partially ambiguous between albedo and "
                         "emission at low resolution)")
+    p.add_argument("--emission-space", choices=("log", "linear"),
+                   default="log",
+                   help="optimize emission in softplus-log space (default: "
+                        "one shared lr conditions albedo+emission jointly) "
+                        "or linear space (falls back to a per-group "
+                        "lr-scaled adam)")
     p.add_argument("--resample", action="store_true",
                    help="draw fresh sample paths every step (default keeps "
                         "common random numbers, the standard "
@@ -82,15 +88,24 @@ def main(argv=None):
         mesh = make_mesh(shape=args.mesh)
 
     import optax
-    emission_scale = float(np.asarray(true["emission"]).max()) or 1.0
-    optimizer = optax.multi_transform(
-        {"color": optax.adam(args.lr),
-         "emission": optax.adam(args.lr * emission_scale)},
-        {"mat_diffuse": "color", "mat_specular": "color",
-         "emission": "emission"})
+    if args.emission_space == "log":
+        # log-space emission: multiplicative steps, one shared lr suffices
+        optimizer = optax.adam(args.lr)
+        param_spaces = {"emission": "log"}
+    else:
+        # linear space needs a proportionally larger emission lr: adam
+        # steps are unit-scaled per parameter and a shared lr could never
+        # close a 12-unit radiance gap
+        emission_scale = float(np.asarray(true["emission"]).max()) or 1.0
+        optimizer = optax.multi_transform(
+            {"color": optax.adam(args.lr),
+             "emission": optax.adam(args.lr * emission_scale)},
+            {"mat_diffuse": "color", "mat_specular": "color",
+             "emission": "emission"})
+        param_spaces = None
     step, params, opt_state = make_train_step(
         scene_w, target, spp=args.spp, cfg=cfg, mesh=mesh,
-        optimizer=optimizer)
+        optimizer=optimizer, param_spaces=param_spaces)
 
     rays_per_step = args.size**2 * args.spp
     for i in range(args.steps):

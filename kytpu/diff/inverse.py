@@ -81,18 +81,25 @@ def _sharded_loss(params, scene, target_flat, key, px, py, pid, sid,
 def make_train_step(scene, target, spp: int = 4,
                     cfg: kpath.PathConfig | None = None,
                     optimizer=None, loss_fn=klosses.relmse, mesh=None,
-                    engine: str = "jnp"):
+                    engine: str = "jnp", param_spaces: dict | None = None):
     """Build (step, params0, opt_state0).
 
     step(params, opt_state, key) -> (params, opt_state, loss); jitted.
     With `mesh`, the whole step runs SPMD over ("tile", "spp").
     engine="pallas" differentiates through the megakernel's path-replay
     backward instead of XLA autodiff (single-device for now).
+    `param_spaces` (e.g. {"emission": "log"}) optimizes selected parameters
+    in softplus-log space (see diff.params.make_codec); params stay in
+    natural space at the step boundary, so callers and checkpoints are
+    unaffected.
     """
+    from kytpu.diff.params import make_codec
+
     cfg = cfg or kpath.PathConfig(max_depth=3)
     optimizer = optimizer or optax.adam(2e-2)
+    encode, decode = make_codec(param_spaces)
     params0 = get_params(scene)
-    opt_state0 = optimizer.init(params0)
+    opt_state0 = optimizer.init(encode(params0))
     w, h = scene.camera.width, scene.camera.height
 
     if engine == "pallas":
@@ -149,9 +156,11 @@ def make_train_step(scene, target, spp: int = 4,
 
     @jax.jit
     def step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_of)(params, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        theta = encode(params)
+        loss, grads = jax.value_and_grad(
+            lambda th: loss_of(decode(th), key))(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        params = decode(optax.apply_updates(theta, updates))
         params = jax.tree.map(lambda p: jnp.clip(p, 0.0, None), params)
         return params, opt_state, loss
 

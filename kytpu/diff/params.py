@@ -19,6 +19,43 @@ from kytpu.scene.scene import Scene
 
 TRAINABLE = ("mat_diffuse", "mat_specular", "emission")
 
+_SOFTPLUS_FLOOR = 1e-6   # zero-emission rows map to a finite theta (~-13.8)
+
+
+def make_codec(param_spaces: dict | None):
+    """(encode, decode) pytree maps between natural parameter space and the
+    optimization space.
+
+    `param_spaces` maps a parameter name to "linear" (identity, default) or
+    "log" (softplus: p = log(1+e^theta)). Log space conditions emission
+    recovery: area-light radiance is O(25) while albedos are O(1)
+    (ky.cpp:3365 vs 3273-3282), so a shared Adam step in linear space either
+    crawls on emission or overshoots color; in log space the step is
+    multiplicative and one learning rate serves both. Rows at exactly 0
+    (non-emitting surfaces) get theta = softplus^{-1}(1e-6), whose forward
+    derivative ~1e-6 pins them at zero — the codec preserves sparsity."""
+    spaces = param_spaces or {}
+
+    def _enc_one(name, p):
+        if spaces.get(name) == "log":
+            q = jnp.maximum(p, _SOFTPLUS_FLOOR)
+            # softplus^{-1}(q) = log(expm1(q)), stable form
+            return jnp.where(q > 20.0, q, jnp.log(jnp.expm1(q)))
+        return p
+
+    def _dec_one(name, th):
+        if spaces.get(name) == "log":
+            return jnp.logaddexp(th, 0.0)   # softplus, overflow-safe
+        return th
+
+    def encode(params):
+        return {n: _enc_one(n, p) for n, p in params.items()}
+
+    def decode(theta):
+        return {n: _dec_one(n, t) for n, t in theta.items()}
+
+    return encode, decode
+
 
 def get_params(scene: Scene, names=TRAINABLE) -> dict:
     return {n: getattr(scene, n) for n in names}

@@ -84,3 +84,52 @@ def test_train_step_reduces_loss(scene):
         params, opt, loss = step(params, opt, key)  # fixed key: deterministic
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_param_codec_roundtrip(scene):
+    """softplus-log codec: decode(encode(p)) == p for positive entries,
+    zero-emission rows stay pinned at ~0, and gradients chain correctly."""
+    from kytpu.diff.params import make_codec
+
+    params = get_params(scene)
+    enc, dec = make_codec({"emission": "log"})
+    back = dec(enc(params))
+    # linear params untouched bitwise
+    np.testing.assert_array_equal(np.asarray(back["mat_diffuse"]),
+                                  np.asarray(params["mat_diffuse"]))
+    em, em_back = np.asarray(params["emission"]), np.asarray(back["emission"])
+    np.testing.assert_allclose(em_back[em > 0], em[em > 0], rtol=1e-6)
+    assert np.all(em_back[em == 0] <= 2e-6)
+    # chain rule: d/d_theta softplus(theta) = sigmoid(theta)
+    th = enc(params)["emission"]
+    row = int(np.argmax(em.sum(axis=1)))
+    g = jax.grad(lambda t: jnp.logaddexp(t[row, 0], 0.0))(th)
+    expect = 1.0 / (1.0 + np.exp(-float(th[row, 0])))
+    assert np.isclose(float(g[row, 0]), expect, rtol=1e-5)
+
+
+def test_train_step_log_emission_recovers(scene):
+    """Joint albedo+emission recovery in log-emission space with ONE shared
+    learning rate reduces both errors (roadmap item: conditioning)."""
+    import optax
+
+    key = jax.random.key(13)
+    target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=CFG))
+    true = get_params(scene)
+    wrong = set_params(scene, {
+        "mat_diffuse": true["mat_diffuse"] * 0.5,
+        "emission": true["emission"] * 0.5})
+    step, params, opt = make_train_step(
+        wrong, target, spp=2, cfg=CFG, optimizer=optax.adam(5e-2),
+        param_spaces={"emission": "log"})
+    losses = []
+    for i in range(12):
+        params, opt, loss = step(params, opt, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    em_row = int(np.argmax(np.asarray(true["emission"]).sum(axis=1)))
+    err0 = abs(float(true["emission"][em_row, 0]) * 0.5
+               - float(true["emission"][em_row, 0]))
+    err1 = abs(float(params["emission"][em_row, 0])
+               - float(true["emission"][em_row, 0]))
+    assert err1 < err0, (err1, err0)
