@@ -123,13 +123,19 @@ def _same_hemisphere(wo, wi):
 
 
 def _phong_lobe(wo, wi, exponent):
-    """(eval_rgb_scale, pdf) of the modified-Phong lobe; color applied by caller."""
+    """(eval_rgb_scale, pdf) of the modified-Phong lobe; color applied by
+    caller. The cos^e factor is evaluated at cos clamped away from 0 and
+    masked after, so d val/d exponent = val*log(cos) stays finite at
+    grazing alpha (pow(0,e) has a nan exponent-cotangent) — exponent is a
+    trainable parameter (diff.params)."""
     wr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
     cos_alpha = km.dot(wr, wi)
-    cos_pos = jnp.maximum(cos_alpha, 0.0)
-    val = (exponent + 2.0) * km.INV_2PI * jnp.power(cos_pos, exponent)
-    val = jnp.where(_same_hemisphere(wo, wi), val, 0.0)
-    pdf = (exponent + 1.0) * jnp.power(cos_pos, exponent) * km.INV_2PI
+    cos_safe = jnp.maximum(cos_alpha, 1e-12)
+    powa = jnp.power(cos_safe, exponent)
+    front = _same_hemisphere(wo, wi) & (cos_alpha > 0.0)
+    val = jnp.where(front, (exponent + 2.0) * km.INV_2PI * powa, 0.0)
+    pdf = jnp.where(cos_alpha > 0.0,
+                    (exponent + 1.0) * powa * km.INV_2PI, 0.0)
     return val, pdf
 
 
@@ -216,7 +222,11 @@ def sample_local(params: BsdfParams, wo, u2) -> BsdfSample:
                        jnp.where(refr_ok, 1.0 - fr, 0.0))
 
     # --- phong ---
-    lobe = _phong_cosine_lobe_sample(u2, params.exponent)
+    # detached sampling: the sample MAP u->wi must not carry the exponent's
+    # gradient (f/pdf is differentiated at fixed samples; a wi that moves
+    # with the exponent would add an uncorrected reparameterization term)
+    lobe = _phong_cosine_lobe_sample(
+        u2, jax.lax.stop_gradient(params.exponent))
     wr = mirror_wi  # reflect(wo, z)
     s, t, nf = kframe.make_frame(wr)
     wi_ph = kframe.to_world(s, t, nf, lobe)

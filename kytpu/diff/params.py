@@ -18,6 +18,11 @@ import jax.numpy as jnp
 from kytpu.scene.scene import Scene
 
 TRAINABLE = ("mat_diffuse", "mat_specular", "emission")
+# opt-in extras: get_params(scene, TRAINABLE + ("mat_exponent",)).
+# mat_exponent (Phong glossiness) differentiates through the jnp engines —
+# the lobe value (e+2)/2pi cos^e carries the gradient while the sample map
+# and pdf stay detached (bsdf.py::sample_local) — unbiased by the same
+# detached-sampling argument as the color parameters.
 
 _SOFTPLUS_FLOOR = 1e-6   # zero-emission rows map to a finite theta (~-13.8)
 

@@ -86,6 +86,71 @@ def test_train_step_reduces_loss(scene):
     assert losses[-1] < losses[0], losses
 
 
+def test_grad_phong_exponent_analytic():
+    """d/de of the modified-Phong lobe value matches the closed form
+    (1/(e+2) + log cos_a) * val, including at grazing alpha (no nan)."""
+    from kytpu.bsdf.bsdf import _phong_lobe
+
+    wo = jnp.asarray([[0.3, 0.1, 0.9], [0.0, 0.0, 1.0], [0.6, 0.0, 0.8]])
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    wi = jnp.asarray([[-0.25, -0.1, 0.93], [0.4, 0.2, 0.89], [-0.6, 0.0, 0.8]])
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    e = jnp.float32(90.0)
+
+    g = jax.grad(lambda ex: jnp.sum(_phong_lobe(wo, wi, ex)[0]))(e)
+    wr = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
+    cos_a = jnp.sum(wr * wi, axis=-1)
+    val, _ = _phong_lobe(wo, wi, e)
+    expect = jnp.sum(jnp.where(cos_a > 0,
+                               (1.0 / (e + 2.0) + jnp.log(
+                                   jnp.maximum(cos_a, 1e-12))) * val, 0.0))
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(expect), rtol=1e-4)
+
+    # grazing/negative alpha: value 0, exponent-grad 0, never nan
+    wi_graze = jnp.asarray([[0.9, 0.1, -0.42]])
+    wi_graze = wi_graze / jnp.linalg.norm(wi_graze, axis=-1, keepdims=True)
+    g2 = jax.grad(lambda ex: jnp.sum(
+        _phong_lobe(wo[:1], wi_graze, ex)[0]))(e)
+    assert float(g2) == 0.0
+
+
+def test_grad_phong_exponent_matches_fd():
+    """Render-level exponent gradients match central FD where the detached
+    estimator is exactly differentiable: light-strategy NEE (wi sampled on
+    the light — an exponent-independent sample map), Veach plates (the
+    light-sampled direction lands inside the glossy lobe). At higher depth
+    / BSDF sampling, detached AD equals FD-at-CRN only in expectation, so
+    a per-realization comparison would be invalid — see
+    bsdf.py::sample_local's detached-sampling note."""
+    from kytpu.scene import builders as kb
+
+    scene = kb.veach_mis(width=24, height=16)
+    cfg = PathConfig(max_depth=1, variant="iteration", strategy="light")
+    key = jax.random.key(7)
+    names = ("mat_diffuse", "mat_specular", "emission", "mat_exponent")
+    params = get_params(scene, names)
+    exp = np.asarray(params["mat_exponent"])
+    rows = np.nonzero(exp > 0)[0]
+    assert rows.size, "scene needs a glossy surface"
+    row = int(rows[len(rows) // 2])
+    e0 = float(exp[row])
+
+    def f(p):
+        img = render_once(set_params(scene, p), key, spp=4, cfg=cfg)
+        return jnp.sum(img)
+
+    g = float(jax.grad(f)(params)["mat_exponent"][row])
+    eps = 0.02 * e0   # log-linear in e: small relative step
+    pp = dict(params); pm = dict(params)
+    pp["mat_exponent"] = params["mat_exponent"].at[row].add(eps)
+    pm["mat_exponent"] = params["mat_exponent"].at[row].add(-eps)
+    fd = (float(f(pp)) - float(f(pm))) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert abs(fd) > 1e-8, "probe saw no glossy contribution"
+    assert abs(g - fd) <= 5e-2 * abs(fd), (g, fd)
+
+
 def test_param_codec_roundtrip(scene):
     """softplus-log codec: decode(encode(p)) == p for positive entries,
     zero-emission rows stay pinned at ~0, and gradients chain correctly."""
