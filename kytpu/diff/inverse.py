@@ -81,7 +81,8 @@ def _sharded_loss(params, scene, target_flat, key, px, py, pid, sid,
 def make_train_step(scene, target, spp: int = 4,
                     cfg: kpath.PathConfig | None = None,
                     optimizer=None, loss_fn=klosses.relmse, mesh=None,
-                    engine: str = "jnp", param_spaces: dict | None = None):
+                    engine: str = "jnp", param_spaces: dict | None = None,
+                    names: tuple | None = None):
     """Build (step, params0, opt_state0).
 
     step(params, opt_state, key) -> (params, opt_state, loss); jitted.
@@ -92,13 +93,18 @@ def make_train_step(scene, target, spp: int = 4,
     in softplus-log space (see diff.params.make_codec); params stay in
     natural space at the step boundary, so callers and checkpoints are
     unaffected.
+    `names` selects the trainable leaves (diff.params.TRAINABLE by
+    default; add "mat_exponent" to recover Phong glossiness — under
+    engine="pallas" this switches the kernel to its trainable-exponent
+    replay backward).
     """
-    from kytpu.diff.params import make_codec
+    from kytpu.diff.params import TRAINABLE, make_codec
 
     cfg = cfg or kpath.PathConfig(max_depth=3)
     optimizer = optimizer or optax.adam(2e-2)
     encode, decode = make_codec(param_spaces)
-    params0 = get_params(scene)
+    names = names or TRAINABLE
+    params0 = get_params(scene, names)
     opt_state0 = optimizer.init(encode(params0))
     w, h = scene.camera.width, scene.camera.height
 
@@ -107,11 +113,19 @@ def make_train_step(scene, target, spp: int = 4,
             raise NotImplementedError("pallas train step is single-device")
         from kytpu.kernels import wavefront as kwf
         from kytpu.scene import scene as kscene_mod
-        kcfg = kwf.KernelConfig(max_depth=cfg.max_depth)
+        import numpy as _np
+        from kytpu import bsdf as _kbsdf
+        # exponent only trains when a glossy (plastic) material exists —
+        # the kernel keeps its baked-exponent signature otherwise
+        train_exp = "mat_exponent" in names and bool(
+            (_np.asarray(scene.mat_kind) == _kbsdf.MAT_PLASTIC).any())
+        kcfg = kwf.KernelConfig(max_depth=cfg.max_depth,
+                                trainable_exponent=train_exp)
         on_tpu = any("TPU" in getattr(dev, "device_kind", "")
                      for dev in jax.devices())
-        tracer = kwf.make_pallas_diff_tracer(scene, kcfg,
-                                             interpret=not on_tpu)
+        tracer = kwf.make_pallas_diff_tracer(
+            scene, kcfg, interpret=not on_tpu,
+            backward="replay" if train_exp else "residual")
         npix = w * h
         pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp)
         px0 = (pid % w).astype(jnp.float32)
@@ -126,8 +140,9 @@ def make_train_step(scene, target, spp: int = 4,
             o, d = kscene_mod.generate_rays(
                 cam, jnp.stack([px0 + u[:, 0], py0 + u[:, 1]], -1))
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            exp_arg = ((params["mat_exponent"],) if train_exp else ())
             out = tracer(params["mat_diffuse"], params["mat_specular"],
-                         params["emission"],
+                         params["emission"], *exp_arg,
                          params.get("env_radiance_", env0), o, d, seed)
             img = out.reshape(spp, h, w, 3).mean(axis=0)
             return loss_fn(img, target)

@@ -66,6 +66,11 @@ class KernelConfig:
     # shuffled+scrambled copy of the first two Sobol dimensions. Pure int
     # arithmetic, so interpret == TPU bitwise.
     sampler: str = "random"
+    # Phong exponents become a traced SMEM table instead of baked
+    # constants: the diff tracer takes an exponent argument and returns its
+    # gradient (replay backward only). Costs the _ipow static-exponent fast
+    # path, so it is off for the pure-render/bench configurations.
+    trainable_exponent: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -1095,19 +1100,30 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         res_ix, res_n = _residual_layout(static, cfg)
 
     use_sobol = cfg.sampler == "sobol"
+    use_texp = cfg.trainable_exponent and kbsdf.PHONG in lobes
+    if use_texp:
+        static_exp = None   # exponents come from the traced SMEM table
+        rows_x = [m for m in range(M)
+                  if mats["kind"][m] == kbsdf.MAT_PLASTIC]
 
     def kernel(*refs):
         resf_ref = resi_ref = None
-        (seed_ref, diffuse_ref, specular_ref, emission_ref,
-         light_emit_ref, env_ref,
-         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:12]
-        rest = list(refs[12:])
+        (seed_ref, diffuse_ref, specular_ref, emission_ref) = refs[:4]
+        rest = list(refs[4:])
+        exponent_ref = rest.pop(0) if use_texp else None
+        (light_emit_ref, env_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[:8]
+        rest = rest[8:]
         if use_sobol:
             si_ref = rest.pop(0)    # per-lane sample index (int32)
             pix_ref = rest.pop(0)   # per-lane pixel id (int32)
         if grad:
-            (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-             dd_ref, ds_ref, de_ref, denv_ref) = rest
+            if use_texp:
+                (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+                 dd_ref, ds_ref, de_ref, denv_ref, dxp_ref) = rest
+            else:
+                (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+                 dd_ref, ds_ref, de_ref, denv_ref) = rest
         elif residual:
             (lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = rest
             res_planes = [None] * res_n
@@ -1142,6 +1158,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             acc_s = [v3_zeros(o.x) for _ in range(M)]
             acc_e = [v3_zeros(o.x) for _ in range(M)]
             acc_env = v3_zeros(o.x)   # d env_radiance (env light only)
+            if use_texp:
+                acc_x = [jnp.zeros(shp, jnp.float32) for _ in range(M)]
 
             def row_add(acc, rows, sid, val: V3):
                 for m in rows:
@@ -1149,6 +1167,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     acc[m] = V3(acc[m].x + jnp.where(mrow, val.x, 0.0),
                                 acc[m].y + jnp.where(mrow, val.y, 0.0),
                                 acc[m].z + jnp.where(mrow, val.z, 0.0))
+
+            def row_add1(acc, rows, sid, val):
+                for m in rows:
+                    acc[m] = acc[m] + jnp.where(sid == m, val, 0.0)
 
         for bounce in range(cfg.max_depth + 1):
             t, sid, valid, nrm = _closest_hit(static, o, d)
@@ -1224,8 +1246,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
 
             # material resolution (plastic stochastic lobe pick); selects
             # and the lobe-pick draw are pruned to the kinds present
-            exponent = np.float32(0.0) if static_exp is not None \
-                else _select_rows(sid, range(M), mats["exponent"])
+            if use_texp:
+                # traced per-row exponents from SMEM (plastic rows only —
+                # the others never evaluate the phong lobe)
+                exponent = jnp.zeros(shp, jnp.float32)
+                for m in rows_x:
+                    exponent = jnp.where(sid == m, exponent_ref[m], exponent)
+            elif static_exp is not None:
+                exponent = np.float32(0.0)
+            else:
+                exponent = _select_rows(sid, range(M), mats["exponent"])
             eta = _select_rows(sid, range(M), mats["eta"]) if has_glass \
                 else np.float32(1.0)
             diffuse = _select_table3(sid, diffuse_ref, rows_d)
@@ -1295,7 +1325,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if has_plastic else diffuse
 
             def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
-                nonlocal acc_e, acc_env, addc_diff, addc_spec
+                nonlocal acc_e, acc_env, addc_diff, addc_spec, addx
                 emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
                             light_emit_ref[i, 2])
                 wi, pdf_l, li_s, dist = _light_sample(
@@ -1352,6 +1382,19 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     else:
                         # only lambert lobes reach NEE eval
                         addc_diff = addc_diff + addc
+                    if use_texp:
+                        # d f_unit/d e = f_unit * (1/(e+2) + log cos_a) at
+                        # the (fixed) light-sampled wi; the contribution
+                        # cotangent is dot(addc, col_nee_tbl)
+                        cos_e = jnp.maximum(
+                            V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                        kap = _safe_div(np.float32(1.0), exponent + 2.0) \
+                            + jnp.log(cos_e)
+                        dsum = (addc.x * col_nee_tbl.x
+                                + addc.y * col_nee_tbl.y
+                                + addc.z * col_nee_tbl.z)
+                        addx = addx + jnp.where(lobe_is_phong, dsum * kap,
+                                                0.0)
                 return contrib
 
             if grad:
@@ -1360,6 +1403,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 # extension term) since sid is shared by all terms
                 addc_diff = v3_zeros(o.x)
                 addc_spec = v3_zeros(o.x)
+                addx = jnp.zeros(shp, jnp.float32) if use_texp else None
 
             ld = v3_zeros(o.x)
             if cfg.nee == "single" and L > 1:
@@ -1442,6 +1486,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                             jnp.where(to_spec, 0.0, addc.z))
                     else:
                         addc_diff = addc_diff + addc
+                    if use_texp:
+                        cos_e = jnp.maximum(
+                            V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                        kap = _safe_div(np.float32(1.0), exponent + 2.0) \
+                            + jnp.log(cos_e)
+                        dsum = (addc.x * col_nee_tbl.x
+                                + addc.y * col_nee_tbl.y
+                                + addc.z * col_nee_tbl.z)
+                        addx = addx + jnp.where(lobe_is_phong, dsum * kap,
+                                                0.0)
             else:
                 # ONE (u1, u2) pair shared by every light's NEE sample:
                 # each light term is an independently unbiased estimator, so
@@ -1528,11 +1582,29 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         jnp.where(to_spec_t, 0.0, addt.z))
                 else:
                     addc_diff = addc_diff + addt
+                if use_texp:
+                    # throughput factor of a phong extension vertex:
+                    # T = color * (e+2)/2pi cos^e a * |cos|/pdf * scale with
+                    # pdf DETACHED (a replayed number), so
+                    # dT/de = T * (1/(e+2) + log cos_a) at the fixed wi
+                    cos_s = jnp.maximum(
+                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                    kap_s = _safe_div(np.float32(1.0), exponent + 2.0) \
+                        + jnp.log(cos_s)
+                    # dot with the RAW table color (coeff_t already carries
+                    # lobe_scale; `color` is the lobe-scaled resolve)
+                    dsum_t = (addt.x * col_nee_tbl.x
+                              + addt.y * col_nee_tbl.y
+                              + addt.z * col_nee_tbl.z)
+                    addx = addx + jnp.where(lobe_is_phong, dsum_t * kap_s,
+                                            0.0)
                 # the single per-bounce row scatter of all material-color
                 # adjoint terms (L NEE lights + the extension sample)
                 row_add(acc_d, rows_d, sid, addc_diff)
                 if has_delta or has_plastic:
                     row_add(acc_s, rows_s, sid, addc_spec)
+                if use_texp:
+                    row_add1(acc_x, rows_x, sid, addx)
                 r_tail = r_next
 
             o = _offset_origin(hp, nrm, wi_w).where(alive_n, o)
@@ -1555,6 +1627,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             arr_s = stack_acc(acc_s)
             arr_e = stack_acc(acc_e)
             arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
+            arr_x = jnp.stack(acc_x, axis=0) if use_texp else None
 
             @pl.when(pid == 0)
             def _():
@@ -1562,6 +1635,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 ds_ref[:] = arr_s
                 de_ref[:] = arr_e
                 denv_ref[:] = arr_env
+                if use_texp:
+                    dxp_ref[:] = arr_x
 
             @pl.when(pid != 0)
             def _():
@@ -1569,6 +1644,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 ds_ref[:] = ds_ref[:] + arr_s
                 de_ref[:] = de_ref[:] + arr_e
                 denv_ref[:] = denv_ref[:] + arr_env
+                if use_texp:
+                    dxp_ref[:] = dxp_ref[:] + arr_x
         else:
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
@@ -1794,6 +1871,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
     use_sobol = cfg.sampler == "sobol"
+    use_texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
 
     @jax.jit
     def trace(scene, o, d, seed, si=None, pix=None):
@@ -1826,6 +1904,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                else jnp.zeros(3, jnp.float32)).reshape(1, 3)
 
         extra = [iplane(si), iplane(pix)] if use_sobol else []
+        exp_in = [scene.mat_exponent] if use_texp else []
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -1834,6 +1913,9 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                 smem((m_rows, 3)),                          # diffuse
                 smem((m_rows, 3)),                          # specular
                 smem((m_rows, 3)),                          # emission
+            ] + ([pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
+                               memory_space=pltpu.SMEM)]
+                 if use_texp else []) + [
                 smem((max(n_lights, 1), 3)),                # light emit
                 smem((1, 3)),                               # env radiance
                 blk, blk, blk, blk, blk, blk,
@@ -1843,7 +1925,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
         )(seed_arr, scene.mat_diffuse, scene.mat_specular, scene.emission,
-          light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
+          *exp_in, light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
 
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
@@ -1888,6 +1970,12 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     arrays (sample_index, pixel_id) after `seed`; they are nondifferentiable
     and must be identical between the forward and backward (the replay
     backward re-draws the same Owen-Sobol stream from them).
+
+    With cfg.trainable_exponent (and a glossy material present) the
+    signature becomes fn(diffuse, specular, emission, exponent, env, o, d,
+    seed[, si, pix]) and the VJP additionally returns d_exponent (per
+    material row; replay backward only — the coefficient cache does not
+    store the log-cos factors the exponent adjoint needs).
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
@@ -1895,6 +1983,11 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
     hw = interpret is False
+    use_texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
+    if use_texp and backward == "residual":
+        raise NotImplementedError(
+            "trainable_exponent needs backward='replay' (the residual "
+            "cache does not store the per-vertex log-cos factors)")
     fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
     if backward == "residual":
         fwd_res_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False,
@@ -1948,12 +2041,20 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return emit
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, env, o, d, seed, si=None,
-              pix=None):
-        return _fwd_impl(diffuse, specular, emission, env, o, d, seed, si,
-                         pix)
+    def trace(diffuse, specular, emission, exponent, env, o, d, seed,
+              si=None, pix=None):
+        return _fwd_impl(diffuse, specular, emission, exponent, env, o, d,
+                         seed, si, pix)
 
-    def _fwd_impl(diffuse, specular, emission, env, o, d, seed, si, pix):
+    def _exp_args(exponent):
+        """(pallas inputs, in_specs) for the exponent table."""
+        if not use_texp:
+            return [], []
+        return [exponent], [pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
+                                         memory_space=pltpu.SMEM)]
+
+    def _fwd_impl(diffuse, specular, emission, exponent, env, o, d, seed,
+                  si, pix):
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -1961,19 +2062,21 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
+        exp_in, exp_spec = _exp_args(exponent)
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
-                      smem((max(n_lights, 1), 3)), smem((1, 3)),
-                      blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
+                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3))]
+            + exp_spec
+            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+               blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz, *extra)
+          emission, *exp_in, _light_emit_of(emission, env),
+          env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
@@ -1987,13 +2090,13 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     def _reduce(a):
         return a.sum(axis=(1, 2)).reshape(m_rows, 3)
 
-    def _fwd(diffuse, specular, emission, env, o, d, seed, si=None,
-             pix=None):
+    def _fwd(diffuse, specular, emission, exponent, env, o, d, seed,
+             si=None, pix=None):
         if backward == "replay":
-            big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed,
-                              si, pix)
-            return big_l, (diffuse, specular, emission, env, o, d, seed,
-                           si, pix, big_l, None, None)
+            big_l = _fwd_impl(diffuse, specular, emission, exponent, env,
+                              o, d, seed, si, pix)
+            return big_l, (diffuse, specular, emission, exponent, env, o, d,
+                           seed, si, pix, big_l, None, None)
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2025,12 +2128,12 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
           ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
         big_l = jnp.stack([lx, ly, lz], axis=-1)
-        return big_l, (diffuse, specular, emission, env, o, d, seed,
+        return big_l, (diffuse, specular, emission, None, env, o, d, seed,
                        si, pix, big_l, resf, resi)
 
     def _bwd(res, g):
-        (diffuse, specular, emission, env, o, d, seed, si, pix, big_l,
-         resf, resi) = res
+        (diffuse, specular, emission, exponent, env, o, d, seed, si, pix,
+         big_l, resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2039,6 +2142,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         flx, fly, flz = _planes(big_l, n, npad, rows)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         light_emit = _light_emit_of(emission, env)
+        dexp = None
 
         if backward == "residual":
             def res_blk(nplanes):
@@ -2065,30 +2169,53 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             ox, oy, oz = _planes(o, n, npad, rows)
             dx, dy, dz = _planes(d, n, npad, rows)
             extra = _iplanes(si, pix, n, npad, rows)
-            dd, ds, de, denv = pl.pallas_call(
+            exp_in, exp_spec = _exp_args(exponent)
+            outs = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
-                          smem((m_rows, 3)),
-                          smem((max(n_lights, 1), 3)), smem((1, 3)),
-                          blk, blk, blk, blk, blk, blk]
+                          smem((m_rows, 3))]
+                + exp_spec
+                + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+                   blk, blk, blk, blk, blk, blk]
                 + [blk] * len(extra)
                 + [blk, blk, blk, blk, blk, blk],
                 out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
-                           _acc_blk(3 * m_rows), _acc_blk(3)],
+                           _acc_blk(3 * m_rows), _acc_blk(3)]
+                + ([_acc_blk(m_rows)] if use_texp else []),
                 out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
-                           _acc_shape(3 * m_rows), _acc_shape(3)],
+                           _acc_shape(3 * m_rows), _acc_shape(3)]
+                + ([_acc_shape(m_rows)] if use_texp else []),
                 interpret=interpret,
-            )(seed_arr, diffuse, specular, emission, light_emit,
+            )(seed_arr, diffuse, specular, emission, *exp_in, light_emit,
               env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra,
               gx, gy, gz, flx, fly, flz)
+            if use_texp:
+                dd, ds, de, denv, dx_acc = outs
+                dexp = dx_acc.sum(axis=(1, 2)).reshape(m_rows)
+            else:
+                dd, ds, de, denv = outs
+                dexp = None
 
-        return (_reduce(dd), _reduce(ds), _reduce(de),
+        if dexp is None:
+            dexp = jnp.zeros((m_rows,), jnp.float32)
+        return (_reduce(dd), _reduce(ds), _reduce(de), dexp,
                 denv.sum(axis=(1, 2)).reshape(3),
                 jnp.zeros_like(o), jnp.zeros_like(d), None, None, None)
 
     trace.defvjp(_fwd, _bwd)
-    return jax.jit(trace)
+    trace_jit = jax.jit(trace)
+    if use_texp:
+        return trace_jit
+
+    def public(diffuse, specular, emission, env, o, d, seed, si=None,
+               pix=None):
+        # exponent stays a baked constant; pass the scene's table so the
+        # custom_vjp signature is uniform (its cotangent is discarded)
+        return trace_jit(diffuse, specular, emission, scene.mat_exponent,
+                         env, o, d, seed, si, pix)
+
+    return public
 
 
 def render_pallas(scene, spp: int = 16, seed: int = 1234,

@@ -250,6 +250,33 @@ def test_pallas_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_pallas_train_step_with_exponent():
+    """make_train_step(engine="pallas", names=...+mat_exponent) routes
+    through the trainable-exponent replay kernel and reduces loss, moving
+    the perturbed exponent toward its true value."""
+    from kytpu.diff import get_params, set_params
+    from kytpu.diff.inverse import make_train_step, render_once
+    from kytpu.diff.params import TRAINABLE
+    from kytpu.integrator.path import PathConfig
+
+    scene = builders.cornell_box(width=8, height=8)
+    cfg = PathConfig(max_depth=2)
+    key = jax.random.key(13)
+    target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=cfg))
+    names = TRAINABLE + ("mat_exponent",)
+    true_exp = get_params(scene, names)["mat_exponent"]
+    wrong = set_params(scene, {"mat_exponent": true_exp * 0.5})
+    step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
+                                        engine="pallas", names=names)
+    losses = []
+    for i in range(3):
+        params, opt, loss = step(params, opt, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    g = np.asarray(params["mat_exponent"] - true_exp * 0.5)
+    assert np.isfinite(g).all()
+
+
 def test_single_light_nee_matches_all():
     """nee="single" (uniform pick x L compensation) converges to nee="all"."""
     scene = builders.veach_mis(width=24, height=15)
@@ -411,6 +438,80 @@ def test_sobol_prb_gradients():
     for a, b in zip(grads[0], grads[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_trainable_exponent_forward_and_grad():
+    """KernelConfig(trainable_exponent=True): the forward matches the
+    baked-exponent kernel, and d/d exponent matches central FD exactly.
+
+    Exactness construction (point light, depth 2, loss restricted to lanes
+    whose PRIMARY hit is not the glossy floor): the floor is then reached
+    only through e-independent sample maps (camera/lambert/delta), its NEE
+    term uses a light-sampled wi (delta weight, no pdf_b), and its
+    extension feeds the zero horizon (no area emitters) — so the detached
+    estimator is exactly differentiable in e at common random numbers.
+    With floor-primary lanes included, FD picks up the expectation-only
+    sample-map term (~3% here), which detached AD intentionally excludes."""
+    scene = builders.cornell_box(
+        flags=builders.BOTH_SMALL_SPHERES | {builders.LIGHT_POINT},
+        width=8, height=8)
+    n = 64
+    pid = jnp.arange(n, dtype=jnp.int32)
+    u = jax.random.uniform(jax.random.key(0), (n, 2))
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    env0 = jnp.zeros(3, jnp.float32)
+    exp0 = scene.mat_exponent
+    row = int(np.argmax(np.asarray(exp0)))
+    assert float(exp0[row]) > 0
+
+    cfg_t = wf.KernelConfig(max_depth=2, rows=8, trainable_exponent=True)
+    cfg_b = wf.KernelConfig(max_depth=2, rows=8)
+    tr_t = wf.make_pallas_diff_tracer(scene, cfg_t, interpret=True,
+                                      backward="replay")
+    tr_b = wf.make_pallas_diff_tracer(scene, cfg_b, interpret=True,
+                                      backward="replay")
+
+    args_b = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0,
+              o, d, seed)
+    out_b = tr_b(*args_b)
+    out_t = tr_t(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                 exp0, env0, o, d, seed)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b),
+                               rtol=2e-4, atol=1e-6)
+
+    # mask: lanes whose primary hit is NOT the glossy-floor surface
+    hit0 = kscene.intersect(scene, o, d)
+    keep = jnp.asarray(np.asarray(hit0.sid) != row)[:, None]
+
+    def loss(ex):
+        out = tr_t(scene.mat_diffuse, scene.mat_specular,
+                   scene.emission, ex, env0, o, d, seed)
+        return jnp.mean(jnp.where(keep, out, 0.0))
+
+    g = jax.grad(loss)(exp0)
+    eps = 1.0
+    fd = (float(loss(exp0.at[row].add(eps)))
+          - float(loss(exp0.at[row].add(-eps)))) / (2 * eps)
+    ad = float(g[row])
+    assert np.isfinite(ad) and abs(fd) > 1e-9, (ad, fd)
+    assert abs(ad - fd) <= 2e-3 * max(abs(fd), 1e-7), (ad, fd)
+    # non-plastic rows have identically zero exponent gradient
+    zero_rows = np.asarray(exp0) == 0
+    np.testing.assert_array_equal(np.asarray(g)[zero_rows], 0.0)
+
+    # color gradients through the trainable-exponent tracer still match the
+    # baked tracer (same estimator, same stream)
+    g_t = jax.grad(lambda dd: jnp.mean(
+        tr_t(dd, scene.mat_specular, scene.emission, exp0, env0, o, d,
+             seed)))(scene.mat_diffuse)
+    g_r = jax.grad(lambda dd: jnp.mean(
+        tr_b(dd, scene.mat_specular, scene.emission, env0, o, d,
+             seed)))(scene.mat_diffuse)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r),
+                               rtol=2e-3, atol=1e-7)
 
 
 def test_residual_backward_matches_replay():
