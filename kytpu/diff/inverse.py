@@ -123,9 +123,8 @@ def make_train_step(scene, target, spp: int = 4,
                                 trainable_exponent=train_exp)
         on_tpu = any("TPU" in getattr(dev, "device_kind", "")
                      for dev in jax.devices())
-        tracer = kwf.make_pallas_diff_tracer(
-            scene, kcfg, interpret=not on_tpu,
-            backward="replay" if train_exp else "residual")
+        tracer = kwf.make_pallas_diff_tracer(scene, kcfg,
+                                             interpret=not on_tpu)
         npix = w * h
         pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp)
         px0 = (pid % w).astype(jnp.float32)

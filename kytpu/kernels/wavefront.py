@@ -68,8 +68,9 @@ class KernelConfig:
     sampler: str = "random"
     # Phong exponents become a traced SMEM table instead of baked
     # constants: the diff tracer takes an exponent argument and returns its
-    # gradient (replay backward only). Costs the _ipow static-exponent fast
-    # path, so it is off for the pure-render/bench configurations.
+    # gradient (replay and residual backwards). Costs the _ipow
+    # static-exponent fast path, so it is off for the pure-render/bench
+    # configurations.
     trainable_exponent: bool = False
 
 
@@ -1032,10 +1033,17 @@ def _residual_layout(static, cfg: KernelConfig):
     coefficient B'), and "tu" (extension throughput unit incl. lobe scale,
     pdf division, RR compensation, alive mask). One extra int32 plane per
     bounce packs sid+1 (bits 0-7), lobe_is_phong (bit 8), to_spec_t (bit 9).
+
+    With cfg.trainable_exponent (+ a glossy material) each "B"/"tu" plane
+    gets a kappa-weighted partner "Bk"/"tuk" = plane * (1/(e+2) + log
+    cos_a), pre-masked to phong lanes — the exponent adjoint is then as
+    bilinear in the cache as the color adjoints, and the backward never
+    needs the exponent itself.
     """
     has_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
     n_b = 1 if (cfg.nee == "single" and len(static["lights"]) > 1) \
         else len(static["lights"])
+    texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
     tags = []
     for b in range(cfg.max_depth + 1):
         tags.append(("wb", b))
@@ -1044,7 +1052,11 @@ def _residual_layout(static, cfg: KernelConfig):
         if b < cfg.max_depth:
             for i in range(n_b):
                 tags.append(("B", b, i))
+                if texp:
+                    tags.append(("Bk", b, i))
             tags.append(("tu", b))
+            if texp:
+                tags.append(("tuk", b))
     return {t: k for k, t in enumerate(tags)}, len(tags)
 
 
@@ -1349,8 +1361,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 bp = li_s * ucos * okf * lobe_scale
                 contrib = col_nee_tbl * emit_l * bp
 
+                if use_texp and (grad or residual):
+                    cos_e = jnp.maximum(
+                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                    kap = _safe_div(np.float32(1.0), exponent + 2.0) \
+                        + jnp.log(cos_e)
                 if residual:
                     res_planes[res_ix[("B", bounce, i)]] = bp
+                    if use_texp:
+                        res_planes[res_ix[("Bk", bounce, i)]] = \
+                            jnp.where(lobe_is_phong, bp * kap, 0.0)
                 if grad:
                     gb = g * beta
                     # d light emission (linear in Li): goes to the light's
@@ -1386,10 +1406,6 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         # d f_unit/d e = f_unit * (1/(e+2) + log cos_a) at
                         # the (fixed) light-sampled wi; the contribution
                         # cotangent is dot(addc, col_nee_tbl)
-                        cos_e = jnp.maximum(
-                            V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                        kap = _safe_div(np.float32(1.0), exponent + 2.0) \
-                            + jnp.log(cos_e)
                         dsum = (addc.x * col_nee_tbl.x
                                 + addc.y * col_nee_tbl.y
                                 + addc.z * col_nee_tbl.z)
@@ -1458,8 +1474,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 bp = li_s * ucos * okf * lobe_scale
                 ld = col_nee_tbl * emit_l * bp
 
+                if use_texp and (grad or residual):
+                    cos_e1 = jnp.maximum(
+                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                    kap1 = _safe_div(np.float32(1.0), exponent + 2.0) \
+                        + jnp.log(cos_e1)
                 if residual:
                     res_planes[res_ix[("B", bounce, 0)]] = bp
+                    if use_texp:
+                        res_planes[res_ix[("Bk", bounce, 0)]] = \
+                            jnp.where(lobe_is_phong, bp * kap1, 0.0)
                 if grad:
                     gb = g * beta
                     add = gb * col_nee_tbl * bp
@@ -1487,14 +1511,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     else:
                         addc_diff = addc_diff + addc
                     if use_texp:
-                        cos_e = jnp.maximum(
-                            V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                        kap = _safe_div(np.float32(1.0), exponent + 2.0) \
-                            + jnp.log(cos_e)
                         dsum = (addc.x * col_nee_tbl.x
                                 + addc.y * col_nee_tbl.y
                                 + addc.z * col_nee_tbl.z)
-                        addx = addx + jnp.where(lobe_is_phong, dsum * kap,
+                        addx = addx + jnp.where(lobe_is_phong, dsum * kap1,
                                                 0.0)
             else:
                 # ONE (u1, u2) pair shared by every light's NEE sample:
@@ -1535,8 +1555,15 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
 
             if residual:
                 t_unit = f_unit_s * _safe_div(jnp.abs(wi_l.z), pdf_s) * scale
-                res_planes[res_ix[("tu", bounce)]] = \
-                    jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                tu_plane = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                res_planes[res_ix[("tu", bounce)]] = tu_plane
+                if use_texp:
+                    cos_s = jnp.maximum(
+                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+                    kap_s = _safe_div(np.float32(1.0), exponent + 2.0) \
+                        + jnp.log(cos_s)
+                    res_planes[res_ix[("tuk", bounce)]] = \
+                        jnp.where(lobe_is_phong, tu_plane * kap_s, 0.0)
                 if has_delta or has_plastic:
                     to_spec_t = (is_mirror | (is_glass & ~glass_refract)
                                  | lobe_is_phong)
@@ -1685,13 +1712,19 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         if li >= 0 and li not in light_row:
             light_row[li] = m
     has_spec = any(mats["kind"][m] != kbsdf.MAT_MATTE for m in range(M))
+    use_texp = cfg.trainable_exponent and kbsdf.PHONG in mats["lobes"]
+    rows_x = [m for m in range(M) if mats["kind"][m] == kbsdf.MAT_PLASTIC]
     res_ix, _ = _residual_layout(static, cfg)
 
-    def kernel(seed_ref, diffuse_ref, specular_ref, emission_ref,
-               light_emit_ref, env_ref,
-               gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-               resf_ref, resi_ref,
-               dd_ref, ds_ref, de_ref, denv_ref):
+    def kernel(*refs):
+        (seed_ref, diffuse_ref, specular_ref, emission_ref,
+         light_emit_ref, env_ref,
+         gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+         resf_ref, resi_ref) = refs[:14]
+        if use_texp:
+            (dd_ref, ds_ref, de_ref, denv_ref, dxp_ref) = refs[14:]
+        else:
+            (dd_ref, ds_ref, de_ref, denv_ref) = refs[14:]
         pid = pl.program_id(0)
         g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
         r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
@@ -1701,6 +1734,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         acc_s = [v3_zeros(g.x) for _ in range(M)]
         acc_e = [v3_zeros(g.x) for _ in range(M)]
         acc_env = v3_zeros(g.x)
+        if use_texp:
+            acc_x = [jnp.zeros(shp, jnp.float32) for _ in range(M)]
 
         def row_add(acc, rows, sid, val: V3):
             for m in rows:
@@ -1708,6 +1743,10 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                 acc[m] = V3(acc[m].x + jnp.where(mrow, val.x, 0.0),
                             acc[m].y + jnp.where(mrow, val.y, 0.0),
                             acc[m].z + jnp.where(mrow, val.z, 0.0))
+
+        def row_add1(acc, rows, sid, val):
+            for m in rows:
+                acc[m] = acc[m] + jnp.where(sid == m, val, 0.0)
 
         if single:
             tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
@@ -1732,6 +1771,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                 if has_spec else v3_zeros(g.x)
             emit_sel = _select_table3(sid, emission_ref, rows_e)
             col_nee = spec_sel.where(lobe_is_phong, diff_sel)
+            addx = jnp.zeros(shp, jnp.float32) if use_texp else None
 
             # E_b = hit emission + env miss + NEE, all bilinear in cache
             e_term = emit_sel * wb
@@ -1766,6 +1806,11 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                 addc_spec = V3(jnp.where(lobe_is_phong, addc.x, 0.0),
                                jnp.where(lobe_is_phong, addc.y, 0.0),
                                jnp.where(lobe_is_phong, addc.z, 0.0))
+                if use_texp:
+                    bk = resf_ref[res_ix[("Bk", bounce, 0)]]
+                    addx = addx + (gb.x * emit_l.x * col_nee.x
+                                   + gb.y * emit_l.y * col_nee.y
+                                   + gb.z * emit_l.z * col_nee.z) * bk
             else:
                 addc_diff = v3_zeros(g.x)
                 addc_spec = v3_zeros(g.x)
@@ -1790,6 +1835,11 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                         jnp.where(lobe_is_phong, 0.0, addc.x),
                         jnp.where(lobe_is_phong, 0.0, addc.y),
                         jnp.where(lobe_is_phong, 0.0, addc.z))
+                    if use_texp:
+                        bk = resf_ref[res_ix[("Bk", bounce, i)]]
+                        addx = addx + (gb.x * emit_l.x * col_nee.x
+                                       + gb.y * emit_l.y * col_nee.y
+                                       + gb.z * emit_l.z * col_nee.z) * bk
 
             # extension: T_b = ext_tbl (x) tu; peel the tail radiance
             tu = resf_ref[res_ix[("tu", bounce)]]
@@ -1805,9 +1855,18 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             addc_diff = addc_diff + V3(jnp.where(to_spec_t, 0.0, addt.x),
                                        jnp.where(to_spec_t, 0.0, addt.y),
                                        jnp.where(to_spec_t, 0.0, addt.z))
+            if use_texp:
+                # tuk is pre-masked to phong lanes, whose raw ext color is
+                # the specular table
+                tuk = resf_ref[res_ix[("tuk", bounce)]]
+                addx = addx + (gb.x * r_next.x * spec_sel.x
+                               + gb.y * r_next.y * spec_sel.y
+                               + gb.z * r_next.z * spec_sel.z) * tuk
             row_add(acc_d, rows_d, sid, addc_diff)
             if has_spec:
                 row_add(acc_s, rows_s, sid, addc_spec)
+            if use_texp:
+                row_add1(acc_x, rows_x, sid, addx)
             beta = beta * t_eff
             r_tail = r_next
 
@@ -1821,6 +1880,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         arr_s = stack_acc(acc_s)
         arr_e = stack_acc(acc_e)
         arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
+        arr_x = jnp.stack(acc_x, axis=0) if use_texp else None
 
         @pl.when(pid == 0)
         def _():
@@ -1828,6 +1888,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             ds_ref[:] = arr_s
             de_ref[:] = arr_e
             denv_ref[:] = arr_env
+            if use_texp:
+                dxp_ref[:] = arr_x
 
         @pl.when(pid != 0)
         def _():
@@ -1835,6 +1897,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             ds_ref[:] = ds_ref[:] + arr_s
             de_ref[:] = de_ref[:] + arr_e
             denv_ref[:] = denv_ref[:] + arr_env
+            if use_texp:
+                dxp_ref[:] = dxp_ref[:] + arr_x
 
     return kernel
 
@@ -1973,9 +2037,9 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
 
     With cfg.trainable_exponent (and a glossy material present) the
     signature becomes fn(diffuse, specular, emission, exponent, env, o, d,
-    seed[, si, pix]) and the VJP additionally returns d_exponent (per
-    material row; replay backward only — the coefficient cache does not
-    store the log-cos factors the exponent adjoint needs).
+    seed[, si, pix]) and the VJP additionally returns d_exponent per
+    material row (both backwards; the residual forward caches
+    kappa-weighted "Bk"/"tuk" partner planes, see _residual_layout).
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
@@ -1984,10 +2048,6 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     static = extract_static(scene)
     hw = interpret is False
     use_texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
-    if use_texp and backward == "residual":
-        raise NotImplementedError(
-            "trainable_exponent needs backward='replay' (the residual "
-            "cache does not store the per-vertex log-cos factors)")
     fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
     if backward == "residual":
         fwd_res_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False,
@@ -2104,6 +2164,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
+        exp_in, exp_spec = _exp_args(exponent)
         n_bounce = cfg.max_depth + 1
 
         def res_blk(nplanes):
@@ -2114,9 +2175,10 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         *lplanes, resf, resi = pl.pallas_call(
             fwd_res_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3)),
-                      smem((max(n_lights, 1), 3)), smem((1, 3)),
-                      blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
+                      smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3))]
+            + exp_spec
+            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+               blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk, res_blk(res_n), res_blk(n_bounce)],
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                        for _ in range(3)]
@@ -2124,8 +2186,8 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                jax.ShapeDtypeStruct((n_bounce, rows, LANE), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz, *extra)
+          emission, *exp_in, _light_emit_of(emission, env),
+          env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
         big_l = jnp.stack([lx, ly, lz], axis=-1)
         return big_l, (diffuse, specular, emission, None, env, o, d, seed,
@@ -2150,7 +2212,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
 
-            dd, ds, de, denv = pl.pallas_call(
+            outs = pl.pallas_call(
                 bwd_res_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
@@ -2159,12 +2221,19 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                           blk, blk, blk, blk, blk, blk,
                           res_blk(res_n), res_blk(cfg.max_depth + 1)],
                 out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
-                           _acc_blk(3 * m_rows), _acc_blk(3)],
+                           _acc_blk(3 * m_rows), _acc_blk(3)]
+                + ([_acc_blk(m_rows)] if use_texp else []),
                 out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
-                           _acc_shape(3 * m_rows), _acc_shape(3)],
+                           _acc_shape(3 * m_rows), _acc_shape(3)]
+                + ([_acc_shape(m_rows)] if use_texp else []),
                 interpret=interpret,
             )(seed_arr, diffuse, specular, emission, light_emit,
               env.reshape(1, 3), gx, gy, gz, flx, fly, flz, resf, resi)
+            if use_texp:
+                dd, ds, de, denv, dx_acc = outs
+                dexp = dx_acc.sum(axis=(1, 2)).reshape(m_rows)
+            else:
+                dd, ds, de, denv = outs
         else:
             ox, oy, oz = _planes(o, n, npad, rows)
             dx, dy, dz = _planes(d, n, npad, rows)

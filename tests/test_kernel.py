@@ -469,49 +469,53 @@ def test_trainable_exponent_forward_and_grad():
 
     cfg_t = wf.KernelConfig(max_depth=2, rows=8, trainable_exponent=True)
     cfg_b = wf.KernelConfig(max_depth=2, rows=8)
-    tr_t = wf.make_pallas_diff_tracer(scene, cfg_t, interpret=True,
-                                      backward="replay")
     tr_b = wf.make_pallas_diff_tracer(scene, cfg_b, interpret=True,
                                       backward="replay")
-
-    args_b = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0,
-              o, d, seed)
-    out_b = tr_b(*args_b)
-    out_t = tr_t(scene.mat_diffuse, scene.mat_specular, scene.emission,
-                 exp0, env0, o, d, seed)
-    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b),
-                               rtol=2e-4, atol=1e-6)
+    out_b = tr_b(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                 env0, o, d, seed)
 
     # mask: lanes whose primary hit is NOT the glossy-floor surface
     hit0 = kscene.intersect(scene, o, d)
     keep = jnp.asarray(np.asarray(hit0.sid) != row)[:, None]
 
-    def loss(ex):
-        out = tr_t(scene.mat_diffuse, scene.mat_specular,
-                   scene.emission, ex, env0, o, d, seed)
-        return jnp.mean(jnp.where(keep, out, 0.0))
+    ads = []
+    for bw in ("replay", "residual"):
+        tr_t = wf.make_pallas_diff_tracer(scene, cfg_t, interpret=True,
+                                          backward=bw)
+        out_t = tr_t(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                     exp0, env0, o, d, seed)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b),
+                                   rtol=2e-4, atol=1e-6)
 
-    g = jax.grad(loss)(exp0)
-    eps = 1.0
-    fd = (float(loss(exp0.at[row].add(eps)))
-          - float(loss(exp0.at[row].add(-eps)))) / (2 * eps)
-    ad = float(g[row])
-    assert np.isfinite(ad) and abs(fd) > 1e-9, (ad, fd)
-    assert abs(ad - fd) <= 2e-3 * max(abs(fd), 1e-7), (ad, fd)
-    # non-plastic rows have identically zero exponent gradient
-    zero_rows = np.asarray(exp0) == 0
-    np.testing.assert_array_equal(np.asarray(g)[zero_rows], 0.0)
+        def loss(ex, tr=tr_t):
+            out = tr(scene.mat_diffuse, scene.mat_specular,
+                     scene.emission, ex, env0, o, d, seed)
+            return jnp.mean(jnp.where(keep, out, 0.0))
 
-    # color gradients through the trainable-exponent tracer still match the
-    # baked tracer (same estimator, same stream)
-    g_t = jax.grad(lambda dd: jnp.mean(
-        tr_t(dd, scene.mat_specular, scene.emission, exp0, env0, o, d,
-             seed)))(scene.mat_diffuse)
-    g_r = jax.grad(lambda dd: jnp.mean(
-        tr_b(dd, scene.mat_specular, scene.emission, env0, o, d,
-             seed)))(scene.mat_diffuse)
-    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r),
-                               rtol=2e-3, atol=1e-7)
+        g = jax.grad(loss)(exp0)
+        eps = 1.0
+        fd = (float(loss(exp0.at[row].add(eps)))
+              - float(loss(exp0.at[row].add(-eps)))) / (2 * eps)
+        ad = float(g[row])
+        ads.append(ad)
+        assert np.isfinite(ad) and abs(fd) > 1e-9, (bw, ad, fd)
+        assert abs(ad - fd) <= 2e-3 * max(abs(fd), 1e-7), (bw, ad, fd)
+        # non-plastic rows have identically zero exponent gradient
+        zero_rows = np.asarray(exp0) == 0
+        np.testing.assert_array_equal(np.asarray(g)[zero_rows], 0.0)
+
+        # color gradients through the trainable-exponent tracer still match
+        # the baked tracer (same estimator, same stream)
+        g_t = jax.grad(lambda dd: jnp.mean(
+            tr_t(dd, scene.mat_specular, scene.emission, exp0, env0, o, d,
+                 seed)))(scene.mat_diffuse)
+        g_r = jax.grad(lambda dd: jnp.mean(
+            tr_b(dd, scene.mat_specular, scene.emission, env0, o, d,
+                 seed)))(scene.mat_diffuse)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r),
+                                   rtol=2e-3, atol=1e-7)
+    # the two backwards are algebraic routes to the same exponent adjoint
+    np.testing.assert_allclose(ads[0], ads[1], rtol=1e-4)
 
 
 def test_residual_backward_matches_replay():
