@@ -43,6 +43,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="smaller passes (CI smoke)")
+    ap.add_argument("--scale", action="store_true",
+                    help="scene-scale sweep: jnp-engine rays/s vs sphere "
+                         "count (random_spheres scenes)")
     args = ap.parse_args()
 
     from kytpu.diff import get_params
@@ -54,6 +57,36 @@ def main():
 
     results = []
     quick = args.quick
+
+    if args.scale:
+        # scene-scale sweep: the closest-hit is a vectorized O(N) sweep;
+        # this measures the actual rays/s falloff with surface count on
+        # the jnp fast engine (the megakernel bakes geometry, so its
+        # compile time — not run time — grows with N)
+        from kytpu.integrator.fast import FastConfig
+        from kytpu.integrator.render import trace_lanes
+        n_lanes = 1 << (18 if quick else 20)
+        for n_sph in (16, 64, 256) if quick else (16, 64, 256, 1024):
+            sc = builders.random_spheres(n=n_sph, width=256, height=256)
+            npix = 256 * 256
+            pid = jnp.arange(n_lanes, dtype=jnp.int32) % npix
+            sid = jnp.zeros(n_lanes, jnp.int32)
+            px = (pid % 256).astype(jnp.float32)
+            py = (pid // 256).astype(jnp.float32)
+            key = jax.random.key(1)
+            fn = jax.jit(lambda k: trace_lanes(
+                sc, k, px, py, pid, sid, FastConfig(max_depth=3), "fast",
+                None))
+            dt = _time(lambda: fn(key), n=2)
+            results.append(dict(
+                metric=f"scale_{n_sph}_spheres_rays_per_s",
+                value=n_lanes / dt, unit="rays/s",
+                config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
+                       f"{n_lanes} lanes, jnp fast"))
+        for r in results:
+            r["value"] = round(float(r["value"]), 2)
+            print(json.dumps(r))
+        return
 
     # 1. cornell render throughput (megakernel, full frame)
     size = 128 if quick else 256

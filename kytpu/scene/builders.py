@@ -434,3 +434,72 @@ def smallpt(width: int = 256, height: int = 256,
                   emission=emit, light_slot=slot)
     a._lights[slot]["surface_handle"] = h
     return a.build(cam)
+
+
+def random_spheres(n: int = 100, width: int = 256, height: int = 256,
+                   seed: int = 0) -> kscene.Scene:
+    """Procedural scene-scale stress scene: `n` spheres on a ground plane.
+
+    Beyond parity (the reference has no accelerator and tops out at ~16
+    surfaces per scene, ky.cpp:3097-3115 + 3240-3533). kytpu's closest-hit
+    is a vectorized O(N) SoA sweep, which on TPU stays VPU-friendly to
+    hundreds of surfaces; this factory provides arbitrary-N scenes for
+    measuring that scaling (benchmarks/run.py --scale). Use the jnp engines
+    for large N — the Pallas megakernel bakes geometry as unrolled
+    constants, so its compile time grows with N.
+
+    Layout: ray-marchable ground rectangle, `n` pseudo-random spheres
+    (70% matte, 15% mirror, 10% glass, 5% glossy plastic), one sphere
+    area light overhead, and a dim sky environment light.
+    """
+    rng = np.random.default_rng(seed)
+    m = _SceneAssembler
+    a = _SceneAssembler()
+    g = a.geo
+
+    # ground grows with n so rejection placement doesn't saturate
+    half = max(12.0, 1.1 * float(np.sqrt(n)))
+    a.surface(g.add_rectangle((-half, 0.0, -half), (-half, 0.0, half),
+                              (half, 0.0, half), (half, 0.0, -half)),
+              m.matte(jnp.full(3, 0.65)))
+
+    # Poisson-ish placement: reject overlaps against accepted spheres
+    placed = []
+    tries = 0
+    while len(placed) < n and tries < 40 * n:
+        tries += 1
+        r = float(rng.uniform(0.25, 0.7))
+        x = float(rng.uniform(-half * 0.85, half * 0.85))
+        z = float(rng.uniform(-half * 0.85, half * 0.85))
+        if any((x - px) ** 2 + (z - pz) ** 2 < (r + pr + 0.05) ** 2
+               for px, pz, pr in placed):
+            continue
+        placed.append((x, z, r))
+    for x, z, r in placed:
+        u = float(rng.uniform())
+        col = jnp.asarray(rng.uniform(0.2, 0.95, 3).astype(np.float32))
+        if u < 0.70:
+            mat = m.matte(col)
+        elif u < 0.85:
+            mat = m.mirror(jnp.full(3, 0.95))
+        elif u < 0.95:
+            mat = m.glass(1.5)
+        else:
+            mat = m.plastic(col * 0.3, jnp.full(3, 0.6),
+                            float(rng.uniform(30.0, 200.0)))
+        a.surface(g.add_sphere((x, r, z), r), mat)
+
+    emit = jnp.full(3, 40.0 * max(1.0, (half / 12.0) ** 2))
+    c_l, r_l = (0.0, 1.2 * half, 0.0), 0.2 * half
+    slot = a.add_light(kind=klights.AREA_SPHERE, emit=emit,
+                       center=np.asarray(c_l), radius=r_l,
+                       surface_handle=None)
+    h = a.surface(g.add_sphere(c_l, r_l), m.matte(jnp.zeros(3)),
+                  emission=emit, light_slot=slot)
+    a._lights[slot]["surface_handle"] = h
+    a.add_light(kind=klights.ENV, emit=jnp.asarray([0.15, 0.18, 0.25]))
+
+    cam = kscene.make_camera(
+        position=(0.0, 0.58 * half, 1.83 * half), front=(0.0, -0.28, -1.0),
+        up=(0.0, 1.0, 0.0), fov_degrees=55.0, width=width, height=height)
+    return a.build(cam)

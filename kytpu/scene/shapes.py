@@ -280,12 +280,91 @@ def intersect_sphere(geom: Geometry, o, d, tmax):
     return t, accept
 
 
+# Above this many total surfaces the sweeps switch from one dense
+# (N, S)-shaped pass to a lax.scan over surface chunks: peak memory drops
+# from O(N*S) to O(N*CHUNK) so million-lane batches survive thousand-surface
+# scenes (the dense 1M x 1026 sweep needs ~24 GB of HBM; chunked ~1 GB).
+_SWEEP_CHUNK = 128
+
+
+def _pad_chunks(a, chunk, fill):
+    """(S, ...) -> (C, chunk, ...) with `fill` padding rows."""
+    s = a.shape[0]
+    c = -(-s // chunk)
+    pad = c * chunk - s
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+    return a.reshape((c, chunk) + a.shape[1:])
+
+
+class _GeomView:
+    """Duck-typed chunk of Geometry for the intersect_* sweeps."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _planar_chunks(geom: Geometry):
+    # zero-padded rows are rejected: normal 0 -> denom 0 -> t = inf
+    return dict(
+        pl_kind=_pad_chunks(geom.pl_kind, _SWEEP_CHUNK, 0),
+        pl_p0=_pad_chunks(geom.pl_p0, _SWEEP_CHUNK, 0.0),
+        pl_p1=_pad_chunks(geom.pl_p1, _SWEEP_CHUNK, 0.0),
+        pl_p2=_pad_chunks(geom.pl_p2, _SWEEP_CHUNK, 0.0),
+        pl_p3=_pad_chunks(geom.pl_p3, _SWEEP_CHUNK, 0.0),
+        pl_normal=_pad_chunks(geom.pl_normal, _SWEEP_CHUNK, 0.0),
+        pl_radius=_pad_chunks(geom.pl_radius, _SWEEP_CHUNK, 0.0),
+    )
+
+
+def _sphere_chunks(geom: Geometry):
+    # far-away zero-radius padding: discriminant < 0 -> never accepted
+    return dict(
+        sp_center=_pad_chunks(geom.sp_center, _SWEEP_CHUNK, 1e30),
+        sp_radius=_pad_chunks(geom.sp_radius, _SWEEP_CHUNK, 0.0),
+    )
+
+
+def _scan_closest(chunks, intersect, o, d, tmax, base, t_best, sid_best):
+    n_chunks = next(iter(chunks.values())).shape[0]
+    bases = base + jnp.arange(n_chunks, dtype=jnp.int32) * _SWEEP_CHUNK
+
+    def body(carry, xs):
+        tb, sb = carry
+        ch_base, ch = xs
+        t, acc = intersect(_GeomView(**ch), o, d, tmax)
+        tm = jnp.where(acc, t, jnp.inf)
+        i = jnp.argmin(tm, axis=1).astype(jnp.int32)
+        tc = jnp.take_along_axis(tm, i[:, None], axis=1)[:, 0]
+        better = tc < tb
+        return (jnp.where(better, tc, tb),
+                jnp.where(better, ch_base + i, sb)), None
+
+    (t_best, sid_best), _ = jax.lax.scan(body, (t_best, sid_best),
+                                         (bases, chunks))
+    return t_best, sid_best
+
+
 def closest_hit(geom: Geometry, o, d, tmax):
     """Global closest hit over both blocks.
 
     Returns (t, surface_id, valid): (N,), (N,) int32, (N,) bool.
     surface_id indexes the global row space (planar first, then spheres).
     """
+    if geom.n_planar + geom.n_sphere > 2 * _SWEEP_CHUNK:
+        n = o.shape[0]
+        t_best = jnp.full((n,), jnp.inf, o.dtype)
+        sid = jnp.zeros((n,), jnp.int32)
+        if geom.n_planar:
+            t_best, sid = _scan_closest(
+                _planar_chunks(geom), intersect_planar, o, d, tmax, 0,
+                t_best, sid)
+        if geom.n_sphere:
+            t_best, sid = _scan_closest(
+                _sphere_chunks(geom), intersect_sphere, o, d, tmax,
+                geom.n_planar, t_best, sid)
+        return t_best, sid, jnp.isfinite(t_best)
     ts = []
     accs = []
     if geom.n_planar:
@@ -305,9 +384,26 @@ def closest_hit(geom: Geometry, o, d, tmax):
     return t_best, sid, valid
 
 
+def _scan_any(chunks, intersect, o, d, tmax, hit):
+    def body(carry, ch):
+        _, acc = intersect(_GeomView(**ch), o, d, tmax)
+        return carry | jnp.any(acc, axis=1), None
+
+    hit, _ = jax.lax.scan(body, hit, chunks)
+    return hit
+
+
 def any_hit(geom: Geometry, o, d, tmax):
     """Occlusion query: does ANY surface hit in (eps, tmax)? (N,) bool."""
     hit = jnp.zeros(o.shape[0], dtype=bool)
+    if geom.n_planar + geom.n_sphere > 2 * _SWEEP_CHUNK:
+        if geom.n_planar:
+            hit = _scan_any(_planar_chunks(geom), intersect_planar,
+                            o, d, tmax, hit)
+        if geom.n_sphere:
+            hit = _scan_any(_sphere_chunks(geom), intersect_sphere,
+                            o, d, tmax, hit)
+        return hit
     if geom.n_planar:
         _, ap = intersect_planar(geom, o, d, tmax)
         hit = hit | jnp.any(ap, axis=1)

@@ -64,3 +64,29 @@ def test_veach_matches_oracle():
                                   strategy="both_mis")
     # compare means over the whole image (integral agreement)
     assert abs(ours.mean() - ref.mean()) < 0.02
+
+
+def test_random_spheres_scene_scale():
+    """random_spheres (beyond-parity scene-scale factory): both jnp engines
+    agree on a 80-sphere scene — the O(N) SoA sweep stays correct at scene
+    sizes far past the reference's ~16 surfaces."""
+    import jax
+    import numpy as np
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.path import PathConfig
+    from kytpu.integrator.render import render
+    from kytpu.scene import builders
+
+    sc = builders.random_spheres(n=80, width=24, height=24, seed=3)
+    assert sc.geometry.n_surfaces > 60
+    a = np.asarray(render(sc, spp=24, seed=1, engine="fast",
+                          cfg=FastConfig(max_depth=3)))
+    b = np.asarray(render(sc, spp=24, seed=2, engine="path",
+                          cfg=PathConfig(max_depth=3,
+                                         strategy="both_mis")))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.mean() > 0.02 and b.mean() > 0.02
+    # agree to within MC noise on 4x-downsampled tiles
+    d4 = lambda x: x.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3))  # noqa: E731
+    err = np.abs(d4(a) - d4(b)).mean()
+    assert err < 0.05, err
