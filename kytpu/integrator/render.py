@@ -115,8 +115,15 @@ def render(scene, spp: int = 16, seed: int = 1234,
     """
     if engine == "pallas":
         from kytpu.kernels import wavefront as kwf
-        kcfg = (cfg if isinstance(cfg, kwf.KernelConfig)
-                else kwf.KernelConfig(max_depth=getattr(cfg, "max_depth", 5)))
+        if isinstance(cfg, kwf.KernelConfig):
+            kcfg = cfg
+        else:
+            # PathConfig(sampler="sobol") maps to the kernel's in-kernel
+            # Owen-Sobol lanes (lower MSE and faster than the hw PRNG)
+            kcfg = kwf.KernelConfig(
+                max_depth=getattr(cfg, "max_depth", 5),
+                sampler=("sobol" if getattr(cfg, "sampler", "") == "sobol"
+                         else "random"))
         return kwf.render_pallas(scene, spp=spp, seed=seed, cfg=kcfg,
                                  clamp=clamp, rays_per_pass=rays_per_pass)
     cfg = cfg or kpath.PathConfig()
