@@ -132,9 +132,12 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     over tile, samples over spp, one psum per pass — but each device runs
     the megakernel on its lane shard (a pallas_call inside shard_map).
     Camera jitter stays keyed by (pixel, sample) so it is mesh-invariant;
-    the in-kernel path RNG is seeded per (seed, device, tile), so unlike
-    the jnp engine the image is reproducible per mesh shape rather than
-    across mesh shapes.
+    with the default sampler the in-kernel path RNG is seeded per
+    (seed, device), so the image is reproducible per mesh shape rather
+    than across mesh shapes. With kernel_cfg.sampler == "sobol" every
+    in-kernel draw is a pure function of (seed, pixel id, sample index,
+    draw site), so the sharded image is mesh-invariant (and matches the
+    single-device render_pallas up to f32 reduction order).
     """
     from kytpu.kernels import wavefront as kwf
     from kytpu.scene import scene as kscene_mod
@@ -163,23 +166,39 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
                          NamedSharding(mesh, P("spp")))
     key = jax.random.key(seed)
 
+    use_sobol = cfg.sampler == "sobol"
+
     def body(scene, px, py, pid, sid):
         s_loc = sid.shape[0]
         p_loc = pid.shape[0]
         lane_pid = jnp.tile(pid, s_loc)
         lane_sid = jnp.repeat(sid, p_loc)
-        keys = jax.vmap(
-            lambda s_, p_: jax.random.fold_in(jax.random.fold_in(key, s_), p_)
-        )(lane_sid, lane_pid)
-        u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
+        if use_sobol:
+            # identical construction to render_pallas' sobol path: camera
+            # jitter from per-pixel (0,2) streams indexed by sample, path
+            # RNG a pure fn of (seed, pixel, sample, site) — mesh-invariant
+            from kytpu.core import rng as krng
+            cam_keys = jax.vmap(
+                lambda p_: jax.random.fold_in(key, p_))(lane_pid)
+            u = krng.uniform2(cam_keys, "sobol", lane_sid)
+        else:
+            keys = jax.vmap(
+                lambda s_, p_: jax.random.fold_in(
+                    jax.random.fold_in(key, s_), p_)
+            )(lane_sid, lane_pid)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)
         lane_px = jnp.tile(px, s_loc) + u[:, 0]
         lane_py = jnp.tile(py, s_loc) + u[:, 1]
         o, d = kscene_mod.generate_rays(cam, jnp.stack([lane_px, lane_py], -1))
-        ti = jax.lax.axis_index("tile")
-        si = jax.lax.axis_index("spp")
-        dev_seed = (jnp.int32(seed) + ti.astype(jnp.int32) * jnp.int32(7919)
-                    + si.astype(jnp.int32) * jnp.int32(104729))
-        out = tracer(scene, o, d, dev_seed)
+        if use_sobol:
+            out = tracer(scene, o, d, jnp.int32(seed), lane_sid, lane_pid)
+        else:
+            ti = jax.lax.axis_index("tile")
+            si = jax.lax.axis_index("spp")
+            dev_seed = (jnp.int32(seed)
+                        + ti.astype(jnp.int32) * jnp.int32(7919)
+                        + si.astype(jnp.int32) * jnp.int32(104729))
+            out = tracer(scene, o, d, dev_seed)
         partial = out.reshape(s_loc, p_loc, 3).sum(axis=0)
         return jax.lax.psum(partial, "spp")
 

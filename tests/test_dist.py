@@ -79,3 +79,24 @@ def test_sharded_pallas_render(scene):
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
     assert img.mean() > 0.005
+
+
+def test_sharded_pallas_sobol_mesh_invariant(scene):
+    """With the in-kernel Owen-Sobol sampler every draw is a pure function
+    of (seed, pixel, sample, site), so the sharded megakernel image is
+    invariant across mesh shapes and matches the single-device
+    render_pallas (up to f32 psum reduction order)."""
+    import numpy as np
+    from kytpu.dist import render_sharded_pallas
+    from kytpu.kernels import wavefront as wf
+
+    cfg = wf.KernelConfig(max_depth=2, rows=8, sampler="sobol")
+    imgs = []
+    for shape in ((4, 2), (2, 4)):
+        mesh = make_mesh(shape=shape)
+        imgs.append(np.asarray(render_sharded_pallas(
+            scene, mesh, spp=4, seed=9, kernel_cfg=cfg, interpret=True)))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-6)
+    single = np.asarray(wf.render_pallas(scene, spp=4, seed=9, cfg=cfg,
+                                         interpret=True))
+    np.testing.assert_allclose(imgs[0], single, atol=2e-5)
