@@ -113,12 +113,7 @@ def make_train_step(scene, target, spp: int = 4,
             raise NotImplementedError("pallas train step is single-device")
         from kytpu.kernels import wavefront as kwf
         from kytpu.scene import scene as kscene_mod
-        import numpy as _np
-        from kytpu import bsdf as _kbsdf
-        # exponent only trains when a glossy (plastic) material exists —
-        # the kernel keeps its baked-exponent signature otherwise
-        train_exp = "mat_exponent" in names and bool(
-            (_np.asarray(scene.mat_kind) == _kbsdf.MAT_PLASTIC).any())
+        train_exp = "mat_exponent" in names
         kcfg = kwf.KernelConfig(max_depth=cfg.max_depth,
                                 trainable_exponent=train_exp)
         on_tpu = any("TPU" in getattr(dev, "device_kind", "")

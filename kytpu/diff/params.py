@@ -37,8 +37,13 @@ def make_codec(param_spaces: dict | None):
     (ky.cpp:3365 vs 3273-3282), so a shared Adam step in linear space either
     crawls on emission or overshoots color; in log space the step is
     multiplicative and one learning rate serves both. Rows at exactly 0
-    (non-emitting surfaces) get theta = softplus^{-1}(1e-6), whose forward
-    derivative ~1e-6 pins them at zero — the codec preserves sparsity."""
+    (non-emitting surfaces) get theta = softplus^{-1}(1e-6) with a ~1e-6
+    forward derivative — note this suppresses their GRADIENT, not the
+    optimizer step: Adam's per-parameter normalization can still walk a
+    consistently-signed tiny gradient up over many hundreds of steps, so
+    for long runs keep structurally-zero emitters out of the trainable set
+    (optax.masked, or a restricted `names=` in make_train_step) rather
+    than relying on the floor."""
     spaces = param_spaces or {}
 
     def _enc_one(name, p):

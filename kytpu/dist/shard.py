@@ -137,7 +137,9 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     than across mesh shapes. With kernel_cfg.sampler == "sobol" every
     in-kernel draw is a pure function of (seed, pixel id, sample index,
     draw site), so the sharded image is mesh-invariant (and matches the
-    single-device render_pallas up to f32 reduction order).
+    single-device render_pallas up to f32 reduction order) — except under
+    nee="single", whose scalar per-tile light pick depends on the tile
+    decomposition.
     """
     from kytpu.kernels import wavefront as kwf
     from kytpu.scene import scene as kscene_mod

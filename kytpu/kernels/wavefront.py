@@ -391,6 +391,18 @@ def _ipow(x, n: int):
     return r
 
 
+
+def _kappa(exponent, wo_l: V3, wi_l: V3):
+    """d log f_phong / d e at FIXED wi: 1/(e+2) + log cos_alpha (clamped).
+
+    The single definition behind every exponent adjoint — the replay
+    accumulators and the residual "Bk"/"tuk" planes must stay in lockstep.
+    Callers mask the result to phong lanes (where cos_alpha > 0, so the
+    clamp never fires on a contributing lane)."""
+    cos_a = jnp.maximum(V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+    return _safe_div(np.float32(1.0), exponent + 2.0) + jnp.log(cos_a)
+
+
 def _static_exponent(mats):
     """The single static integer Phong exponent shared by every glossy
     surface, or None (mixed/fractional exponents fall back to jnp.power)."""
@@ -1043,7 +1055,7 @@ def _residual_layout(static, cfg: KernelConfig):
     has_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
     n_b = 1 if (cfg.nee == "single" and len(static["lights"]) > 1) \
         else len(static["lights"])
-    texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
+    texp = cfg.trainable_exponent
     tags = []
     for b in range(cfg.max_depth + 1):
         tags.append(("wb", b))
@@ -1112,7 +1124,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         res_ix, res_n = _residual_layout(static, cfg)
 
     use_sobol = cfg.sampler == "sobol"
-    use_texp = cfg.trainable_exponent and kbsdf.PHONG in lobes
+    use_texp = cfg.trainable_exponent
     if use_texp:
         static_exp = None   # exponents come from the traced SMEM table
         rows_x = [m for m in range(M)
@@ -1362,10 +1374,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 contrib = col_nee_tbl * emit_l * bp
 
                 if use_texp and (grad or residual):
-                    cos_e = jnp.maximum(
-                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                    kap = _safe_div(np.float32(1.0), exponent + 2.0) \
-                        + jnp.log(cos_e)
+                    kap = _kappa(exponent, wo_l, wi_l)
                 if residual:
                     res_planes[res_ix[("B", bounce, i)]] = bp
                     if use_texp:
@@ -1433,6 +1442,19 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 c = c ^ jax.lax.shift_right_logical(c, jnp.int32(16))
                 c = c * np.int32(-2048144789)   # 0x85ebca6b
                 c = c ^ jax.lax.shift_right_logical(c, jnp.int32(13))
+                if use_sobol:
+                    # sobol passes hold the SEED fixed and advance only the
+                    # per-lane sample index, so a hash of tile_seed alone
+                    # would freeze the pick forever (a biased estimator that
+                    # never averages over lights). Rotating the hash by the
+                    # tile's sample index makes the pick cycle round-robin
+                    # through all L lights as samples accumulate —
+                    # STRATIFIED light selection (exactly uniform whenever
+                    # spp % L == 0). si is constant within a tile whenever
+                    # npix >= tile lanes (render_pallas orders lanes
+                    # pixel-major per sample); reading lane 0 keeps the
+                    # pick scalar either way.
+                    c = c + si_ref[0, 0]
                 pick = jax.lax.rem(c & np.int32(0x7fffffff), np.int32(L))
 
                 def mk_branch(i, lt):
@@ -1475,10 +1497,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 ld = col_nee_tbl * emit_l * bp
 
                 if use_texp and (grad or residual):
-                    cos_e1 = jnp.maximum(
-                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                    kap1 = _safe_div(np.float32(1.0), exponent + 2.0) \
-                        + jnp.log(cos_e1)
+                    kap1 = _kappa(exponent, wo_l, wi_l)
                 if residual:
                     res_planes[res_ix[("B", bounce, 0)]] = bp
                     if use_texp:
@@ -1558,12 +1577,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 tu_plane = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
                 res_planes[res_ix[("tu", bounce)]] = tu_plane
                 if use_texp:
-                    cos_s = jnp.maximum(
-                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                    kap_s = _safe_div(np.float32(1.0), exponent + 2.0) \
-                        + jnp.log(cos_s)
-                    res_planes[res_ix[("tuk", bounce)]] = \
-                        jnp.where(lobe_is_phong, tu_plane * kap_s, 0.0)
+                    res_planes[res_ix[("tuk", bounce)]] = jnp.where(
+                        lobe_is_phong,
+                        tu_plane * _kappa(exponent, wo_l, wi_l), 0.0)
                 if has_delta or has_plastic:
                     to_spec_t = (is_mirror | (is_glass & ~glass_refract)
                                  | lobe_is_phong)
@@ -1614,10 +1630,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     # T = color * (e+2)/2pi cos^e a * |cos|/pdf * scale with
                     # pdf DETACHED (a replayed number), so
                     # dT/de = T * (1/(e+2) + log cos_a) at the fixed wi
-                    cos_s = jnp.maximum(
-                        V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
-                    kap_s = _safe_div(np.float32(1.0), exponent + 2.0) \
-                        + jnp.log(cos_s)
+                    kap_s = _kappa(exponent, wo_l, wi_l)
                     # dot with the RAW table color (coeff_t already carries
                     # lobe_scale; `color` is the lobe-scaled resolve)
                     dsum_t = (addt.x * col_nee_tbl.x
@@ -1712,7 +1725,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         if li >= 0 and li not in light_row:
             light_row[li] = m
     has_spec = any(mats["kind"][m] != kbsdf.MAT_MATTE for m in range(M))
-    use_texp = cfg.trainable_exponent and kbsdf.PHONG in mats["lobes"]
+    use_texp = cfg.trainable_exponent
     rows_x = [m for m in range(M) if mats["kind"][m] == kbsdf.MAT_PLASTIC]
     res_ix, _ = _residual_layout(static, cfg)
 
@@ -1935,7 +1948,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
     use_sobol = cfg.sampler == "sobol"
-    use_texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
+    use_texp = cfg.trainable_exponent
 
     @jax.jit
     def trace(scene, o, d, seed, si=None, pix=None):
@@ -2035,11 +2048,13 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     and must be identical between the forward and backward (the replay
     backward re-draws the same Owen-Sobol stream from them).
 
-    With cfg.trainable_exponent (and a glossy material present) the
-    signature becomes fn(diffuse, specular, emission, exponent, env, o, d,
-    seed[, si, pix]) and the VJP additionally returns d_exponent per
-    material row (both backwards; the residual forward caches
-    kappa-weighted "Bk"/"tuk" partner planes, see _residual_layout).
+    With cfg.trainable_exponent the signature becomes
+    fn(diffuse, specular, emission, exponent, env, o, d, seed[, si, pix])
+    and the VJP additionally returns d_exponent per material row (both
+    backwards; the residual forward caches kappa-weighted "Bk"/"tuk"
+    partner planes, see _residual_layout). The signature is keyed on the
+    cfg ALONE — a scene with no glossy material simply gets zero exponent
+    gradients.
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
@@ -2047,7 +2062,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
     hw = interpret is False
-    use_texp = cfg.trainable_exponent and kbsdf.PHONG in static["mats"]["lobes"]
+    use_texp = cfg.trainable_exponent
     fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
     if backward == "residual":
         fwd_res_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False,

@@ -291,6 +291,57 @@ def test_single_light_nee_matches_all():
     assert np.isfinite(s).all()
 
 
+def test_single_light_nee_sobol_cycles_lights():
+    """Under the sobol sampler the seed is FIXED across passes, so the
+    single-NEE light pick must rotate with the sample index (stratified
+    round-robin) or the estimator would freeze on one light per
+    (tile, bounce) and never converge. Regression: sobol+single matches
+    sobol+all on the 5-light Veach scene."""
+    scene = builders.veach_mis(width=24, height=15)
+    a = np.asarray(wf.render_pallas(
+        scene, spp=40, seed=3,
+        cfg=wf.KernelConfig(max_depth=3, rows=8, sampler="sobol"),
+        interpret=True, clamp=False))
+    s = np.asarray(wf.render_pallas(
+        scene, spp=40, seed=3,
+        cfg=wf.KernelConfig(max_depth=3, rows=8, nee="single",
+                            sampler="sobol"),
+        interpret=True, clamp=False))
+    assert np.isfinite(s).all()
+    assert abs(a.mean() - s.mean()) / a.mean() < 0.25
+    # per-region agreement (a frozen pick biases whole image regions);
+    # image is (15, 24): 3x4 tiles of 5x6 pixels
+    d3 = lambda x: x.reshape(3, 5, 4, 6, 3).mean(axis=(1, 3))  # noqa: E731
+    rel = np.abs(d3(a) - d3(s)) / np.maximum(d3(a), 0.05)
+    assert rel.mean() < 0.35, rel.mean()
+
+
+def test_trainable_exponent_without_glossy_scene():
+    """cfg.trainable_exponent keys the tracer SIGNATURE on the cfg alone:
+    a scene with no glossy material still takes the exponent argument and
+    returns identically-zero exponent gradients (no hidden arity switch)."""
+    scene = builders.smallpt(width=8, height=8)
+    cfg = wf.KernelConfig(max_depth=2, rows=8, trainable_exponent=True)
+    tr = wf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                    backward="replay")
+    n = 64
+    pid = jnp.arange(n, dtype=jnp.int32)
+    u = jax.random.uniform(jax.random.key(0), (n, 2))
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    env0 = jnp.zeros(3, jnp.float32)
+
+    def loss(ex):
+        return jnp.mean(tr(scene.mat_diffuse, scene.mat_specular,
+                           scene.emission, ex, env0, o, d, jnp.int32(5)))
+
+    val = float(loss(scene.mat_exponent))
+    g = np.asarray(jax.grad(loss)(scene.mat_exponent))
+    assert np.isfinite(val)
+    np.testing.assert_array_equal(g, 0.0)
+
+
 def test_prb_gradients_env_scene():
     """PRB replay handles the environment-light branch, including the
     d/d env_radiance adjoint (miss-emission term + env NEE)."""
