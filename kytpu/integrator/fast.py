@@ -56,6 +56,7 @@ class FastConfig:
     rr_start: int = 3
     unroll: int = 1
     sampler: str = "random"   # "random" | "debug"
+    filter: str = "box"       # "box" | "tent" (smallpt's 2x2 tent filter)
 
 
 def _draws(keys, bounce, n_draws: int, sampler: str):

@@ -65,6 +65,7 @@ class PathConfig:
     unroll: int = 1                     # scan unroll factor (perf knob)
     sampler: str = "random"   # "random" | "stratified" | "debug" | "sobol"
     strata: tuple = (1, 1)              # camera strata grid for "stratified"
+    filter: str = "box"                 # "box" | "tent" (smallpt's 2x2 tent)
 
 
 def _black(f):

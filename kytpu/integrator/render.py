@@ -43,7 +43,23 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
         index = None
     k_cam, k_path = krng.split_channels(keys, 2)
     u = krng.uniform2(k_cam, cfg.sampler, index)
-    if getattr(cfg, "strata", None) and cfg.sampler == "stratified":
+    if getattr(cfg, "filter", "box") == "tent":
+        # smallpt's 2x2-subpixel tent filter (smallpt.cpp:107-118,
+        # completing the reference's empty filter region, ky.cpp:1525):
+        # samples cycle the 4 subpixels; the tent warp
+        # dx = sqrt(2u)-1 | 1-sqrt(2-2u) spreads each subpixel's samples
+        # over (-1, 1) around its center, overlapping pixel borders
+        r1 = 2.0 * u[:, 0]
+        r2 = 2.0 * u[:, 1]
+        dx = jnp.where(r1 < 1.0, jnp.sqrt(r1) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)))
+        dy = jnp.where(r2 < 1.0, jnp.sqrt(r2) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r2, 0.0)))
+        sub = sample_ids % 4
+        u = jnp.stack([((sub % 2).astype(jnp.float32) + 0.5 + dx) * 0.5,
+                       ((sub // 2).astype(jnp.float32) + 0.5 + dy) * 0.5],
+                      axis=-1)
+    elif getattr(cfg, "strata", None) and cfg.sampler == "stratified":
         # jittered camera strata over the sample index (completes the
         # reference's stratified_sampler_t stub, ky.cpp:978-985)
         a, b = cfg.strata

@@ -120,3 +120,23 @@ def test_sobol_render_unbiased_and_lower_error(scene):
     # seed-averaged: LD lanes track the converged image more closely
     # (measured ~25% lower MSE; per-seed it is noisy, hence the averaging)
     assert errs["sobol"] < errs["random"], errs
+
+
+def test_tent_filter_matches_box_interior():
+    """smallpt's 2x2 tent filter (smallpt.cpp:107-118; completes the
+    reference's empty filter region, ky.cpp:1525) is a reconstruction
+    change, not an estimator change: away from image borders the tent and
+    box images agree to ~MC noise (the tent blurs at most +-0.75 px)."""
+    import numpy as np
+    from kytpu.integrator.render import render
+    from kytpu.integrator.path import PathConfig
+    from kytpu.scene import builders
+
+    sc = builders.cornell_box(width=32, height=32)
+    a = np.asarray(render(sc, spp=16, seed=1, cfg=PathConfig(max_depth=2)))
+    t = np.asarray(render(sc, spp=16, seed=1,
+                          cfg=PathConfig(max_depth=2, filter="tent")))
+    assert np.isfinite(t).all()
+    ai, ti = a[2:-2, 2:-2], t[2:-2, 2:-2]
+    rel = abs(float(ai.mean()) - float(ti.mean())) / float(ai.mean())
+    assert rel < 0.03, rel
