@@ -77,7 +77,8 @@ def cmd_single(args):
                                            builders.LIGHT_AREA}
     scene = builders.cornell_box(flags, width=args.size, height=args.size)
     cfg = PathConfig(max_depth=args.depth, variant="iteration",
-                     strategy="both_mis")
+                     strategy="both_mis", sampler=args.sampler,
+                     filter=args.filter)
     t0 = time.perf_counter()
     img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh,
                   engine=args.engine)
@@ -178,6 +179,14 @@ def main(argv=None):
                         help="pallas = fused TPU megakernel (production "
                              "estimator; the strategy-matrix drivers always "
                              "use the jnp engine)")
+        sp.add_argument("--sampler",
+                        choices=("random", "stratified", "sobol", "debug"),
+                        default="random",
+                        help="sobol = Owen-scrambled (0,2)-sequences "
+                             "(in-kernel under --engine pallas)")
+        sp.add_argument("--filter", choices=("box", "tent"), default="box",
+                        help="tent = smallpt's 2x2 tent camera filter "
+                             "(jnp engines)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)
