@@ -66,23 +66,31 @@ def main():
         from kytpu.integrator.fast import FastConfig
         from kytpu.integrator.render import trace_lanes
         n_lanes = 1 << (18 if quick else 20)
-        for n_sph in (16, 64, 256) if quick else (16, 64, 256, 1024):
-            sc = builders.random_spheres(n=n_sph, width=256, height=256)
-            npix = 256 * 256
-            pid = jnp.arange(n_lanes, dtype=jnp.int32) % npix
-            sid = jnp.zeros(n_lanes, jnp.int32)
-            px = (pid % 256).astype(jnp.float32)
-            py = (pid // 256).astype(jnp.float32)
-            key = jax.random.key(1)
-            fn = jax.jit(lambda k: trace_lanes(
-                sc, k, px, py, pid, sid, FastConfig(max_depth=3), "fast",
-                None))
-            dt = _time(lambda: fn(key), n=2)
-            results.append(dict(
-                metric=f"scale_{n_sph}_spheres_rays_per_s",
-                value=n_lanes / dt, unit="rays/s",
-                config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
-                       f"{n_lanes} lanes, jnp fast"))
+        sizes = (16, 64, 256) if quick else (16, 64, 256, 1024)
+        for n_sph in sizes:
+            # at the largest size also measure the opt-in grid DDA against
+            # the production dense sweep (the sweep wins at every measured
+            # scale on v5e; the grid run documents that)
+            accels = (None,) if n_sph < 1024 or quick else (None, "grid")
+            for accel in accels:
+                sc = builders.random_spheres(n=n_sph, width=256, height=256,
+                                             accel=accel)
+                npix = 256 * 256
+                pid = jnp.arange(n_lanes, dtype=jnp.int32) % npix
+                sid = jnp.zeros(n_lanes, jnp.int32)
+                px = (pid % 256).astype(jnp.float32)
+                py = (pid // 256).astype(jnp.float32)
+                key = jax.random.key(1)
+                fn = jax.jit(lambda k, sc=sc: trace_lanes(
+                    sc, k, px, py, pid, sid, FastConfig(max_depth=3),
+                    "fast", None))
+                dt = _time(lambda: fn(key), n=2)
+                kind = "grid" if sc.accel is not None else "sweep"
+                results.append(dict(
+                    metric=f"scale_{n_sph}_spheres_{kind}_rays_per_s",
+                    value=n_lanes / dt, unit="rays/s",
+                    config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
+                           f"{n_lanes} lanes, jnp fast, accel={kind}"))
         for r in results:
             r["value"] = round(float(r["value"]), 2)
             print(json.dumps(r))

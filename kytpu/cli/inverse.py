@@ -6,6 +6,12 @@ the material/emission tables, then gradient-descends back. Run:
   python -m kytpu.cli.inverse --size 32 --spp 4 --steps 60 [--mesh 4,2]
 
 Prints the loss curve and the final per-parameter recovery error.
+
+--mode texture runs the texture-recovery variant instead: the target scene
+carries a painted image texture on the back wall; optimization starts from
+a flat gray texture and recovers the texels through the render (bilinear
+lookup is linear in the texels, so per-texel gradients are exact —
+scene/texture.py).
 """
 
 from __future__ import annotations
@@ -23,8 +29,53 @@ from kytpu.scene import builders
 from kytpu.utils import RenderTimer, save_checkpoint
 
 
+def demo_texture(n: int = 16) -> np.ndarray:
+    """A recognizable (n, n, 3) test pattern: RGB gradient + yellow ring."""
+    y, x = np.mgrid[0:n, 0:n] / max(n - 1, 1)
+    img = np.stack([x, y, 1.0 - 0.5 * (x + y)], -1)
+    r = np.hypot(x - 0.5, y - 0.5)
+    img[np.abs(r - 0.3) < 0.08] = (0.9, 0.9, 0.1)
+    return img.astype(np.float32)
+
+
+def run_texture_recovery(args):
+    """Recover a painted back-wall texture from renders."""
+    cfg = PathConfig(max_depth=args.depth, strategy="both_mis")
+    true_img = demo_texture(args.tex_res)
+    scene = builders.cornell_box(width=args.size, height=args.size,
+                                 back_image=true_img)
+    key = jax.random.key(args.seed)
+    target_spp = args.target_spp or (32 if args.resample else args.spp)
+    timer = RenderTimer()
+    with timer.phase("target", rays=args.size**2 * target_spp):
+        target = jax.lax.stop_gradient(
+            render_once(scene, key, spp=target_spp, cfg=cfg))
+
+    gray = np.full_like(true_img, 0.5)
+    scene_w = builders.cornell_box(width=args.size, height=args.size,
+                                   back_image=gray)
+    import optax
+    step, params, opt_state = make_train_step(
+        scene_w, target, spp=args.spp, cfg=cfg,
+        optimizer=optax.adam(args.lr), names=("tex_image",))
+    rays_per_step = args.size**2 * args.spp
+    for i in range(args.steps):
+        step_key = jax.random.fold_in(key, 1 + i) if args.resample else key
+        with timer.phase("optimize", rays=rays_per_step):
+            params, opt_state, loss = step(params, opt_state, step_key)
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {float(loss):.6f}")
+    got = np.asarray(params["tex_image"][0])
+    print(f"tex_image: mean abs error {np.abs(gray - true_img).mean():.4f}"
+          f" -> {np.abs(got - true_img).mean():.4f}")
+    print(timer.report())
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=("albedo", "texture"), default="albedo")
+    p.add_argument("--tex-res", type=int, default=16,
+                   help="texture resolution for --mode texture")
     p.add_argument("--size", type=int, default=32)
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--steps", type=int, default=60)
@@ -54,6 +105,9 @@ def main(argv=None):
     p.add_argument("--mesh", type=lambda s: tuple(map(int, s.split(","))),
                    default=None)
     args = p.parse_args(argv)
+
+    if args.mode == "texture":
+        return run_texture_recovery(args)
 
     cfg = PathConfig(max_depth=args.depth, strategy="both_mis")
     scene = builders.cornell_box(width=args.size, height=args.size)

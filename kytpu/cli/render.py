@@ -145,6 +145,40 @@ def cmd_scenes(args):
     _save(args.out or "multi_scene.bmp", grid.pixels)
 
 
+def cmd_textured(args):
+    """Texture demo (beyond parity): Cornell with a checkered floor and a
+    painted back-wall image texture, plus a spheres stress scene rendered
+    through the grid accelerator."""
+    from kytpu.cli.inverse import demo_texture
+    scene = builders.cornell_box(
+        builders.BOTH_SMALL_SPHERES | {builders.LIGHT_AREA},
+        width=args.size, height=args.size,
+        floor_checker=True, back_image=demo_texture(32))
+    cfg = PathConfig(max_depth=args.depth, strategy="both_mis",
+                     sampler=args.sampler)
+    t0 = time.perf_counter()
+    img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh)
+    print(f"{time.perf_counter() - t0:.3f} seconds (textured cornell)")
+    _save(args.out or "textured.bmp", img)
+
+
+def cmd_spheres(args):
+    """Grid-accelerator demo: a procedural many-sphere scene
+    (builders.random_spheres; 'auto' accel = uniform grid past 256
+    surfaces)."""
+    scene = builders.random_spheres(n=args.n, width=args.size,
+                                    height=args.size, seed=args.seed)
+    cfg = PathConfig(max_depth=args.depth, strategy="both_mis")
+    t0 = time.perf_counter()
+    img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh,
+                  mode="fast")
+    dt = time.perf_counter() - t0
+    accel = "grid" if scene.accel is not None else "sweep"
+    print(f"{dt:.3f} seconds, {scene.geometry.n_surfaces} surfaces "
+          f"({accel})")
+    _save(args.out or "spheres.bmp", img)
+
+
 def cmd_mis(args):
     w = args.size
     h = args.size * 308 // 512
@@ -161,10 +195,12 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
     cmds = dict(single=cmd_single, debug=cmd_debug,
                 integrators=cmd_integrators, strategies=cmd_strategies,
-                scenes=cmd_scenes, mis=cmd_mis)
+                scenes=cmd_scenes, mis=cmd_mis, textured=cmd_textured,
+                spheres=cmd_spheres)
     defaults = dict(single=(1024, 16), debug=(512, 10),
                     integrators=(256, 16), strategies=(256, 16),
-                    scenes=(256, 16), mis=(512, 10))
+                    scenes=(256, 16), mis=(512, 10), textured=(512, 64),
+                    spheres=(512, 32))
     for name, fn in cmds.items():
         sp = sub.add_parser(name)
         size0, spp0 = defaults[name]
@@ -187,6 +223,9 @@ def main(argv=None):
         sp.add_argument("--filter", choices=("box", "tent"), default="box",
                         help="tent = smallpt's 2x2 tent camera filter "
                              "(jnp engines)")
+        if name == "spheres":
+            sp.add_argument("--n", type=int, default=512,
+                            help="sphere count (grid accel past 256)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

@@ -23,6 +23,14 @@ TRAINABLE = ("mat_diffuse", "mat_specular", "emission")
 # the lobe value (e+2)/2pi cos^e carries the gradient while the sample map
 # and pdf stay detached (bsdf.py::sample_local) — unbiased by the same
 # detached-sampling argument as the color parameters.
+#
+# Texture leaves (scenes built with textures): "tex_color_a" / "tex_color_b"
+# (checker colors) and "tex_image" (the texel atlas — bilinear lookup is
+# linear in the texels, so per-texel gradients are exact; inverse rendering
+# can recover a painted texture, see cli/inverse --mode texture).
+
+_TEX_ALIASES = {"tex_color_a": "color_a", "tex_color_b": "color_b",
+                "tex_image": "image"}
 
 _SOFTPLUS_FLOOR = 1e-6   # zero-emission rows map to a finite theta (~-13.8)
 
@@ -68,11 +76,22 @@ def make_codec(param_spaces: dict | None):
 
 
 def get_params(scene: Scene, names=TRAINABLE) -> dict:
-    return {n: getattr(scene, n) for n in names}
+    out = {}
+    for n in names:
+        if n in _TEX_ALIASES:
+            out[n] = getattr(scene.textures, _TEX_ALIASES[n])
+        else:
+            out[n] = getattr(scene, n)
+    return out
 
 
 def set_params(scene: Scene, params: dict) -> Scene:
     updates = dict(params)
+    tex_updates = {leaf: updates.pop(name)
+                   for name, leaf in _TEX_ALIASES.items() if name in updates}
+    if tex_updates:
+        updates["textures"] = dataclasses.replace(scene.textures,
+                                                  **tex_updates)
     if "emission" in updates:
         em = updates["emission"]
         lights = scene.lights

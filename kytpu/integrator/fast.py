@@ -130,7 +130,7 @@ def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
         # ---- resolve material (plastic lobe pick consumes u[:, 0]) ----
         mk = scene.mat_kind[hit.sid]
         params = kbsdf.resolve_bsdf(
-            mk, scene.mat_diffuse[hit.sid], scene.mat_specular[hit.sid],
+            mk, scene.diffuse_at(hit.sid, hit.uv), scene.mat_specular[hit.sid],
             scene.mat_exponent[hit.sid], scene.mat_eta[hit.sid],
             scene.mat_d_prob[hit.sid], scene.mat_s_prob[hit.sid], u[:, 0])
         delta = kbsdf.is_delta(params)
@@ -161,10 +161,16 @@ def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
                 sh_d.append(wi)
                 sh_t.append(km.distance(hit.position, ls.position)
                             - km.SHADOW_EPSILON)
-            occ = kshapes.any_hit(
-                scene.geometry,
-                jnp.concatenate(sh_o, 0), jnp.concatenate(sh_d, 0),
-                jnp.concatenate(sh_t, 0)).reshape(L, n)
+            oc_o = jnp.concatenate(sh_o, 0)
+            oc_d = jnp.concatenate(sh_d, 0)
+            oc_t = jnp.concatenate(sh_t, 0)
+            if scene.accel is not None:
+                from kytpu.scene import accel as kaccel
+                occ = kaccel.grid_any_hit(scene.accel, scene.geometry,
+                                          oc_o, oc_d, oc_t).reshape(L, n)
+            else:
+                occ = kshapes.any_hit(scene.geometry, oc_o, oc_d,
+                                      oc_t).reshape(L, n)
             ld = jnp.zeros((n, 3), f32)
             for i, (ok, c) in enumerate(contribs):
                 ld = ld + jnp.where((ok & ~occ[i])[:, None], c, 0.0)

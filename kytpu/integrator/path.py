@@ -72,14 +72,15 @@ def _black(f):
     return jnp.all(f <= 0.0, axis=-1)
 
 
-def _gather_material(scene: kscene.Scene, sid):
-    return (scene.mat_kind[sid], scene.mat_diffuse[sid],
+def _gather_material(scene: kscene.Scene, hit):
+    sid = hit.sid
+    return (scene.mat_kind[sid], scene.diffuse_at(sid, hit.uv),
             scene.mat_specular[sid], scene.mat_exponent[sid],
             scene.mat_eta[sid], scene.mat_d_prob[sid], scene.mat_s_prob[sid])
 
 
 def _resolve(scene, hit, k_lobe, sampler="random", index=None):
-    mk, dif, spec, expo, eta, dp, sp = _gather_material(scene, hit.sid)
+    mk, dif, spec, expo, eta, dp, sp = _gather_material(scene, hit)
     u_lobe = _sg(krng.uniform(k_lobe, sampler=sampler, index=index))
     return kbsdf.resolve_bsdf(mk, dif, spec, expo, eta, dp, sp, u_lobe)
 

@@ -120,6 +120,26 @@ def extract_static(scene):
             rec.update(anchor=_f(p1), f1=_f(f1), f2=_f(f2), fast=True)
         else:
             rec.update(fast=False)
+        # uv parameterization (scene/texture.py conventions), baked for
+        # in-kernel checker evaluation: anchor + dual basis for tri/rect,
+        # frame axes for disks
+        if kind == kshapes.TRI:
+            uf1, uf2 = _dual_basis(p1 - p0, p2 - p0)
+            rec.update(uv_anchor=_f(p0), uv_f1=_f(uf1), uv_f2=_f(uf2))
+        elif kind == kshapes.RECT:
+            uf1, uf2 = _dual_basis(p0 - p1, p2 - p1)
+            rec.update(uv_anchor=_f(p1), uv_f1=_f(uf1), uv_f2=_f(uf2))
+        else:  # disk: u = .5 + rel.s/(2r), v = .5 + rel.t/(2r)
+            nn = np.asarray(rec["n"], np.float64)
+            nn = nn / np.linalg.norm(nn)
+            helper = np.array([0.0, 1.0, 0.0]) if abs(nn[0]) > 0.99 \
+                else np.array([1.0, 0.0, 0.0])
+            tt = np.cross(nn, helper)
+            tt = tt / np.linalg.norm(tt)
+            ss = np.cross(tt, nn)
+            inv2r = 0.5 / max(rec["radius"], 1e-12)
+            rec.update(uv_anchor=_f(p0), uv_f1=_f(ss * inv2r),
+                       uv_f2=_f(tt * inv2r), uv_disk=True)
         planar.append(rec)
     spheres = []
     for i in range(g.n_sphere):
@@ -201,9 +221,22 @@ def extract_static(scene):
     # self-occludes ~70% of cone-sampled sphere NEE, and every engine here
     # replicates that for pixel parity (measured: "fixing" it brightens
     # veach by ~50%).
+    # checker-texture bindings (in-kernel support is planar-only; the
+    # tracer factories below reject anything else before we get here)
+    textures = []
+    if getattr(scene, "has_textures", False):
+        tex_id = np.asarray(scene.tex_id)
+        tscale = np.asarray(scene.textures.scale)
+        for m in range(len(tex_id)):
+            ti = int(tex_id[m])
+            if ti >= 0:
+                textures.append(dict(
+                    row=m, tex=ti,
+                    scale=(float(tscale[ti, 0]), float(tscale[ti, 1]))))
+
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
-                has_env=scene.has_env)
+                has_env=scene.has_env, textures=textures)
 
 
 def _cv3(v):  # constant V3 from a python float triple (broadcasts with planes)
@@ -574,6 +607,36 @@ def _select_table3(sid, table_ref, m_rows):
         y = jnp.where(mask, table_ref[m, 1], y)
         z = jnp.where(mask, table_ref[m, 2], z)
     return V3(x, y, z)
+
+
+def _apply_checker(static, texa_ref, texb_ref, sid, hp: V3,
+                   diffuse: V3) -> V3:
+    """Replace the diffuse color on checker-textured surface rows.
+
+    uv comes from the baked per-surface anchor + dual basis (planar only;
+    the tracer factories reject sphere-bound and image textures before a
+    kernel is built — see _kernel_texture_support). Per textured row this
+    is 2 dot products + 2 floors + a parity select, masked by sid — pure
+    VPU code like the rest of the shading.
+    """
+    for rec in static["textures"]:
+        m = rec["row"]
+        s = static["planar"][m]
+        rel = hp - _cv3(s["uv_anchor"])
+        u = rel.dot(_cv3(s["uv_f1"]))
+        v = rel.dot(_cv3(s["uv_f2"]))
+        if s.get("uv_disk"):
+            u = u + np.float32(0.5)
+            v = v + np.float32(0.5)
+        pu = jnp.floor(u * np.float32(rec["scale"][0])).astype(jnp.int32)
+        pv = jnp.floor(v * np.float32(rec["scale"][1])).astype(jnp.int32)
+        even = ((pu + pv) & 1) == 0
+        t = rec["tex"]
+        ca = V3(jnp.where(even, texa_ref[t, 0], texb_ref[t, 0]),
+                jnp.where(even, texa_ref[t, 1], texb_ref[t, 1]),
+                jnp.where(even, texa_ref[t, 2], texb_ref[t, 2]))
+        diffuse = ca.where(sid == m, diffuse)
+    return diffuse
 
 
 def _offset_origin(p: V3, n: V3, d: V3) -> V3:
@@ -1095,6 +1158,11 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     lights = static["lights"]
     M = len(mats["kind"])
     L = len(lights)
+    tex_recs = static.get("textures", [])
+    # the differentiable tracers reject textured scenes before building a
+    # kernel (no checker-color adjoints yet)
+    assert not (tex_recs and (grad or residual)), \
+        "textured scenes have no kernel backward"
     world_radius = static["world_radius"]
     lobes = mats["lobes"]
     eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
@@ -1135,6 +1203,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         (seed_ref, diffuse_ref, specular_ref, emission_ref) = refs[:4]
         rest = list(refs[4:])
         exponent_ref = rest.pop(0) if use_texp else None
+        texa_ref = rest.pop(0) if tex_recs else None
+        texb_ref = rest.pop(0) if tex_recs else None
         (light_emit_ref, env_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[:8]
         rest = rest[8:]
@@ -1283,6 +1353,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             eta = _select_rows(sid, range(M), mats["eta"]) if has_glass \
                 else np.float32(1.0)
             diffuse = _select_table3(sid, diffuse_ref, rows_d)
+            if tex_recs:
+                diffuse = _apply_checker(static, texa_ref, texb_ref, sid,
+                                         hp, diffuse)
             specular = _select_table3(sid, specular_ref, rows_s)
             mk = jnp.zeros(shp, jnp.int32)
             for m in range(M):
@@ -1921,6 +1994,31 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
 # ---------------------------------------------------------------------------
 
 
+def _kernel_texture_support(scene):
+    """None if the megakernel can evaluate this scene's textures in-kernel
+    (checker on planar surfaces), else a reason string. Image textures and
+    sphere UVs need the jnp engines."""
+    if not getattr(scene, "has_textures", False):
+        return None
+    from kytpu.scene import texture as ktex_mod
+    tex_id = np.asarray(scene.tex_id)
+    kinds = np.asarray(scene.textures.kind)
+    n_planar = scene.geometry.n_planar
+    for m in range(len(tex_id)):
+        ti = int(tex_id[m])
+        if ti < 0:
+            continue
+        if int(kinds[ti]) != ktex_mod.CHECKER:
+            return ("the megakernel evaluates only checker textures "
+                    "in-kernel — render image textures with the jnp "
+                    "engines")
+        if m >= n_planar:
+            return ("the megakernel evaluates checker textures on planar "
+                    "surfaces only — sphere UV textures need the jnp "
+                    "engines")
+    return None
+
+
 def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                        interpret: bool = False):
     """Build a jitted lane tracer for `scene`'s (static) geometry.
@@ -1938,6 +2036,9 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     FIXED seed and increasing sample indices yields stratified pixels.
     """
     cfg = cfg or KernelConfig()
+    tex_err = _kernel_texture_support(scene)
+    if tex_err:
+        raise NotImplementedError(tex_err)
     if interpret is True:
         # CPU interpretation needs the TPU-semantics interpreter for the
         # pltpu.prng_* primitives
@@ -1947,6 +2048,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     m_rows = int(scene.mat_kind.shape[0])
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
+    has_tex = bool(static["textures"])
     use_sobol = cfg.sampler == "sobol"
     use_texp = cfg.trainable_exponent
 
@@ -1982,6 +2084,9 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
 
         extra = [iplane(si), iplane(pix)] if use_sobol else []
         exp_in = [scene.mat_exponent] if use_texp else []
+        tex_in = ([scene.textures.color_a, scene.textures.color_b]
+                  if has_tex else [])
+        t_rows = scene.textures.n_textures if has_tex else 0
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -1992,7 +2097,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                 smem((m_rows, 3)),                          # emission
             ] + ([pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
                                memory_space=pltpu.SMEM)]
-                 if use_texp else []) + [
+                 if use_texp else [])
+            + ([smem((t_rows, 3)), smem((t_rows, 3))] if has_tex else []) + [
                 smem((max(n_lights, 1), 3)),                # light emit
                 smem((1, 3)),                               # env radiance
                 blk, blk, blk, blk, blk, blk,
@@ -2002,7 +2108,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
         )(seed_arr, scene.mat_diffuse, scene.mat_specular, scene.emission,
-          *exp_in, light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
+          *exp_in, *tex_in, light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
 
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
@@ -2058,6 +2164,10 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
+    if getattr(scene, "has_textures", False):
+        raise NotImplementedError(
+            "the Pallas megakernel does not evaluate UV textures yet — "
+            "differentiate textured scenes with the jnp engines")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)

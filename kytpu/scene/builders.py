@@ -26,6 +26,7 @@ from kytpu.core import math as km
 from kytpu.light import lights as klights
 from kytpu.scene import scene as kscene
 from kytpu.scene import shapes as kshapes
+from kytpu.scene import texture as ktex
 
 # cornell_box_enum_t flags (ky.cpp:3121-3145)
 LIGHT_AREA = "light_area"
@@ -49,13 +50,29 @@ class _SceneAssembler:
         self._emission = []  # per surface: (3,) traced or ndarray
         self._light_of_surface = []  # per surface: light index or -1
         self._lights = []   # dicts
+        self._textures = []  # dicts for scene/texture.build
         self._env = None
+
+    # -- textures ----------------------------------------------------------
+    def add_checker(self, color_a, color_b, scale=(1.0, 1.0)) -> int:
+        """Procedural checkerboard texture; returns the texture slot to pass
+        as `texture=` to a material. Colors are differentiable leaves."""
+        self._textures.append(dict(kind=ktex.CHECKER, color_a=color_a,
+                                   color_b=color_b, scale=scale))
+        return len(self._textures) - 1
+
+    def add_image_texture(self, image, scale=(1.0, 1.0)) -> int:
+        """(H, W, 3) image texture, wrap-addressed bilinear; differentiable
+        w.r.t. the texels. All images in one scene share a resolution."""
+        self._textures.append(dict(kind=ktex.IMAGE, image=image, scale=scale))
+        return len(self._textures) - 1
 
     # -- materials -------------------------------------------------------
     @staticmethod
-    def matte(color):
+    def matte(color, texture: int = -1):
         return dict(kind=kbsdf.MAT_MATTE, diffuse=color,
-                    specular=jnp.zeros(3), exponent=0.0, eta=1.0)
+                    specular=jnp.zeros(3), exponent=0.0, eta=1.0,
+                    texture=texture)
 
     @staticmethod
     def mirror(color):
@@ -71,9 +88,10 @@ class _SceneAssembler:
                     exponent=0.0, eta=eta)
 
     @staticmethod
-    def plastic(diffuse, specular, shininess):
+    def plastic(diffuse, specular, shininess, texture: int = -1):
         return dict(kind=kbsdf.MAT_PLASTIC, diffuse=diffuse,
-                    specular=specular, exponent=shininess, eta=1.0)
+                    specular=specular, exponent=shininess, eta=1.0,
+                    texture=texture)
 
     # -- surfaces ----------------------------------------------------------
     def surface(self, shape_handle: int, material: dict,
@@ -96,7 +114,14 @@ class _SceneAssembler:
         return len(self._lights) - 1
 
     # -- freeze ------------------------------------------------------------
-    def build(self, camera: kscene.Camera) -> kscene.Scene:
+    def build(self, camera: kscene.Camera,
+              accel: str | None = "auto") -> kscene.Scene:
+        """accel: "grid" opts into the uniform-grid DDA accelerator
+        (scene/accel.py), None disables it. "auto" (default) currently
+        means None at every scale: measured on v5e, the dense chunked
+        sweep beats the gather-based grid up to at least 4k surfaces
+        (gathers cost ~50x a dense VPU test — see docs/ROADMAP.md), so
+        auto keeps the sweep until a scale where the grid wins exists."""
         geometry, surf_ids = self.geo.build()
         n_surf = geometry.n_surfaces
         order = np.argsort(surf_ids)  # assembler order -> row order
@@ -136,6 +161,11 @@ class _SceneAssembler:
         center, radius = self.geo.bounding_sphere()
 
         env = [l for l in self._lights if l["kind"] == klights.ENV]
+        # texture binding (plastic lobe probabilities stay luminance-of-base:
+        # the pick is a sampling choice, so a spatially-varying diffuse only
+        # changes variance, not the estimator's expectation)
+        tex_id = jnp.asarray(np.array(
+            [row(i).get("texture", -1) for i in range(n_surf)], np.int32))
         return kscene.Scene(
             camera=camera, geometry=geometry,
             mat_kind=mat_kind, mat_diffuse=mat_diffuse,
@@ -147,7 +177,18 @@ class _SceneAssembler:
             has_env=bool(env),
             env_radiance_=(jnp.asarray(env[0]["emit"], jnp.float32)
                            if env else jnp.zeros(3)),
+            has_textures=bool(self._textures),
+            tex_id=tex_id,
+            textures=ktex.build(self._textures),
+            accel=self._build_accel(geometry, accel),
         )
+
+    @staticmethod
+    def _build_accel(geometry, accel):
+        from kytpu.scene import accel as kaccel
+        if accel == "grid":
+            return kaccel.build_grid(geometry)
+        return None
 
     def _freeze_lights(self, surf_ids) -> klights.Lights:
         L = len(self._lights)
@@ -208,12 +249,19 @@ def _rect_light_params(pts, flip=False):
 
 
 def cornell_box(flags=DEFAULT_SCENE, width: int = 256, height: int = 256,
-                overrides: dict | None = None) -> kscene.Scene:
+                overrides: dict | None = None,
+                floor_checker: bool = False,
+                back_image=None) -> kscene.Scene:
     """flags: set of the LIGHT_*/SPHERE_* strings above.
 
     overrides: optional dict of traced leaves for inverse rendering —
     keys: 'white','red','green','blue','glossy_diffuse','glossy_specular',
-    'light_radiance','env_radiance','point_intensity','dir_irradiance'.
+    'light_radiance','env_radiance','point_intensity','dir_irradiance'
+    (+ 'checker_a','checker_b' with floor_checker).
+
+    Texture demos (beyond parity): floor_checker swaps the glossy floor for
+    a checkered matte; back_image pastes an (H, W, 3) image texture on the
+    back wall (the inverse-texture recovery target in cli/inverse).
     """
     flags = frozenset(flags)
     ov = overrides or {}
@@ -236,6 +284,14 @@ def cornell_box(flags=DEFAULT_SCENE, width: int = 256, height: int = 256,
                          ov.get("glossy_specular", jnp.full(3, 0.7)), 90.0)
     m_mirror = a.mirror(jnp.ones(3))
     m_glass = a.glass(1.6)
+    if floor_checker:
+        checker = a.add_checker(ov.get("checker_a", jnp.full(3, 0.73)),
+                                ov.get("checker_b", jnp.full(3, 0.18)),
+                                scale=(6.0, 6.0))
+        m_glossy = a.matte(jnp.full(3, 0.73), texture=checker)
+    if back_image is not None:
+        tex = a.add_image_texture(back_image)
+        m_blue = a.matte(jnp.full(3, 0.5), texture=tex)
 
     cb = np.array([
         [-1.27029, -1.30455, -1.28002],
@@ -437,7 +493,7 @@ def smallpt(width: int = 256, height: int = 256,
 
 
 def random_spheres(n: int = 100, width: int = 256, height: int = 256,
-                   seed: int = 0) -> kscene.Scene:
+                   seed: int = 0, accel: str | None = "auto") -> kscene.Scene:
     """Procedural scene-scale stress scene: `n` spheres on a ground plane.
 
     Beyond parity (the reference has no accelerator and tops out at ~16
@@ -502,4 +558,4 @@ def random_spheres(n: int = 100, width: int = 256, height: int = 256,
     cam = kscene.make_camera(
         position=(0.0, 0.58 * half, 1.83 * half), front=(0.0, -0.28, -1.0),
         up=(0.0, 1.0, 0.0), fov_degrees=55.0, width=width, height=height)
-    return a.build(cam)
+    return a.build(cam, accel=accel)

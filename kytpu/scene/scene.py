@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from kytpu.core import math as km
+from kytpu.scene import accel as kaccel
 from kytpu.scene import shapes as kshapes
+from kytpu.scene import texture as ktex
 from kytpu.light.lights import Lights
 
 
@@ -103,9 +105,32 @@ class Scene:
     has_env: bool = field(metadata=dict(static=True), default=False)
     env_radiance_: jax.Array | None = None  # (3,) when has_env
 
+    # textures (beyond parity — the reference's texture region is an empty
+    # stub, ky.cpp:2559-2563). tex_id maps surface row -> texture row (-1 =
+    # untextured); has_textures is static so untextured scenes trace
+    # zero texture code.
+    has_textures: bool = field(metadata=dict(static=True), default=False)
+    tex_id: jax.Array | None = None      # (M,) int32, -1 if none
+    textures: "ktex.Textures | None" = None
+
+    # optional uniform-grid accelerator (beyond parity — the reference's
+    # accel_t is a stub, ky.cpp:3097-3115; see scene/accel.py). When set,
+    # closest-hit/occlusion run the batched DDA instead of the O(N) sweep.
+    accel: "kaccel.Grid | None" = None
+
     @property
     def n_lights(self) -> int:
         return len(self.lights.kinds)
+
+    def diffuse_at(self, sid, uv):
+        """Per-lane diffuse/transmission color: the mat_diffuse row,
+        replaced by the bound texture's value where one exists."""
+        base = self.mat_diffuse[sid]
+        if not self.has_textures:
+            return base
+        tid = self.tex_id[sid]
+        tv = ktex.eval_texture(self.textures, jnp.maximum(tid, 0), uv)
+        return jnp.where((tid >= 0)[:, None], tv, base)
 
     def env_radiance(self, n: int):
         """Environment radiance for n rays (0 when the scene has no env
@@ -132,6 +157,7 @@ class Hit:
     sid: jax.Array        # (N,) int32 global surface row
     emission: jax.Array   # (N,3) one-sided emitted radiance toward wo
     light_index: jax.Array  # (N,) int32 light id of the hit surface (-1)
+    uv: jax.Array         # (N,2) texture coords (zeros in untextured scenes)
 
 
 def intersect(scene: Scene, o, d, tmax=None) -> Hit:
@@ -139,7 +165,11 @@ def intersect(scene: Scene, o, d, tmax=None) -> Hit:
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, o.dtype)
-    t, sid, valid = kshapes.closest_hit(scene.geometry, o, d, tmax)
+    if scene.accel is not None:
+        t, sid, valid = kaccel.grid_closest_hit(
+            scene.accel, scene.geometry, o, d, tmax)
+    else:
+        t, sid, valid = kshapes.closest_hit(scene.geometry, o, d, tmax)
     t_safe = jnp.where(valid, t, 1.0)
     position = o + t_safe[:, None] * d
     normal = kshapes.surface_normal(scene.geometry, sid, position, d)
@@ -151,8 +181,12 @@ def intersect(scene: Scene, o, d, tmax=None) -> Hit:
     facing = km.dot(normal, wo) > 0.0
     emission = jnp.where((valid & facing)[:, None], radiance, 0.0)
     light_index = jnp.where(valid, scene.light_index[sid], -1)
+    if scene.has_textures:
+        uv = kshapes.surface_uv(scene.geometry, sid, position)
+    else:
+        uv = jnp.zeros((n, 2), o.dtype)
     return Hit(t=t, valid=valid, position=position, normal=normal, wo=wo,
-               sid=sid, emission=emission, light_index=light_index)
+               sid=sid, emission=emission, light_index=light_index, uv=uv)
 
 
 def occluded(scene: Scene, position, normal, direction, dist):
@@ -160,6 +194,9 @@ def occluded(scene: Scene, position, normal, direction, dist):
     tmax = dist - 2e-3."""
     o = kshapes.offset_ray_origin(position, normal, direction)
     tmax = dist - km.SHADOW_EPSILON
+    if scene.accel is not None:
+        return kaccel.grid_any_hit(scene.accel, scene.geometry, o,
+                                   direction, tmax)
     return kshapes.any_hit(scene.geometry, o, direction, tmax)
 
 

@@ -209,10 +209,12 @@ def _onb_np(n):
 # ---------------------------------------------------------------------------
 
 
-def intersect_planar(geom: Geometry, o, d, tmax):
-    """Hit parameter t for every (ray, planar-row) pair.
+def planar_test(oN, dN, tmaxN, kind, p0, p1, p2, p3, normal, radius):
+    """Core planar hit test over broadcastable parameter tables.
 
-    o, d: (N, 3); tmax: (N,). Returns (t, accept): (N, P) each.
+    oN, dN: (N, 1, 3); tmaxN: (N, 1); shape tables: (1, P, ...) for the
+    dense sweep or (N, I, ...) for gathered per-ray candidate lists (the
+    grid accelerator). Returns (t, accept) with the broadcast (N, *) shape.
 
     Uses the SmallVCM sign-of-cross-products inside test for tri/rect
     (ky.cpp:1183-1212 / 1261-1296): the ray is inside the polygon iff the
@@ -220,40 +222,36 @@ def intersect_planar(geom: Geometry, o, d, tmax):
     degenerates the fourth edge test to exactly 0 — it is ignored for the
     all-negative case via the kind mask and harmlessly passes the >= 0 case.
     """
-    oN = o[:, None, :]   # (N, 1, 3)
-    dN = d[:, None, :]
-    oa = geom.pl_p0[None] - oN   # (N, P, 3)
-    ob = geom.pl_p1[None] - oN
-    oc = geom.pl_p2[None] - oN
-    od = geom.pl_p3[None] - oN
+    oa = p0 - oN
+    ob = p1 - oN
+    oc = p2 - oN
+    od = p3 - oN
 
-    v0d = km.dot(jnp.cross(oc, ob), dN)  # (N, P)
+    v0d = km.dot(jnp.cross(oc, ob), dN)
     v1d = km.dot(jnp.cross(ob, oa), dN)
     v2d = km.dot(jnp.cross(oa, od), dN)
     v3d = km.dot(jnp.cross(od, oc), dN)
 
-    is_tri = (geom.pl_kind == TRI)[None]
-    is_rect = (geom.pl_kind == RECT)[None]
-    is_disk = (geom.pl_kind == DISK)[None]
+    is_tri = kind == TRI
+    is_disk = kind == DISK
 
     all_neg = (v0d < 0) & (v1d < 0) & (v3d < 0) & ((v2d < 0) | is_tri)
     all_pos = (v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0)
     inside_poly = all_neg | all_pos
 
-    n = geom.pl_normal[None]             # (1, P, 3)
-    denom = km.dot(n, dN)                # (N, P)
-    t = km.safe_div(km.dot(n, oa), denom, fallback=jnp.inf)
+    denom = km.dot(normal, dN)
+    t = km.safe_div(km.dot(normal, oa), denom, fallback=jnp.inf)
 
     hit_p = oN + t[..., None] * dN
-    in_disk = km.distance(hit_p, geom.pl_p0[None]) <= geom.pl_radius[None]
+    in_disk = km.distance(hit_p, p0) <= radius
 
     inside = jnp.where(is_disk, in_disk, inside_poly)
-    accept = inside & (t > km.SHAPE_EPSILON) & (t < tmax[:, None])
+    accept = inside & (t > km.SHAPE_EPSILON) & (t < tmaxN)
     return t, accept
 
 
-def intersect_sphere(geom: Geometry, o, d, tmax):
-    """Near-then-far root sphere test. Returns (t, accept): (N, S).
+def sphere_test(oN, dN, tmaxN, center, radius):
+    """Core sphere hit test over broadcastable tables (see planar_test).
 
     Same roots as the reference's quadratic (ky.cpp:1336-1392) but computed
     stably for float32: the discriminant uses the perpendicular-distance form
@@ -261,23 +259,40 @@ def intersect_sphere(geom: Geometry, o, d, tmax):
     (t_a * t_b = |oc|^2 - r^2) so huge spheres (smallpt's 1e5-radius walls)
     don't suffer catastrophic cancellation.
     """
-    oc = geom.sp_center[None] - o[:, None, :]       # (N, S, 3)
-    dN = d[:, None, :]
-    neg_b = km.dot(oc, dN)                          # (N, S)
+    oc = center - oN
+    neg_b = km.dot(oc, dN)
     perp = oc - neg_b[..., None] * dN               # component of oc normal to d
-    discr = (geom.sp_radius**2)[None] - km.length_squared(perp)
+    discr = radius**2 - km.length_squared(perp)
     sq = km.safe_sqrt(discr)
-    c = km.length_squared(oc) - (geom.sp_radius**2)[None]
+    c = km.length_squared(oc) - radius**2
     sgn = jnp.where(neg_b >= 0.0, 1.0, -1.0)
     q = neg_b + sgn * sq                            # no cancellation
     tq = km.safe_div(c, q)
     t1 = jnp.minimum(q, tq)                         # near root
     t2 = jnp.maximum(q, tq)                         # far root
-    t1_ok = (t1 > km.SHAPE_EPSILON) & (t1 < tmax[:, None])
-    t2_ok = (t2 > km.SHAPE_EPSILON) & (t2 < tmax[:, None])
+    t1_ok = (t1 > km.SHAPE_EPSILON) & (t1 < tmaxN)
+    t2_ok = (t2 > km.SHAPE_EPSILON) & (t2 < tmaxN)
     t = jnp.where(t1_ok, t1, t2)
     accept = (discr >= 0) & (t1_ok | t2_ok)
     return t, accept
+
+
+def intersect_planar(geom: Geometry, o, d, tmax):
+    """Hit parameter t for every (ray, planar-row) pair.
+
+    o, d: (N, 3); tmax: (N,). Returns (t, accept): (N, P) each.
+    """
+    return planar_test(
+        o[:, None, :], d[:, None, :], tmax[:, None],
+        geom.pl_kind[None], geom.pl_p0[None], geom.pl_p1[None],
+        geom.pl_p2[None], geom.pl_p3[None], geom.pl_normal[None],
+        geom.pl_radius[None])
+
+
+def intersect_sphere(geom: Geometry, o, d, tmax):
+    """Near-then-far root sphere test. Returns (t, accept): (N, S)."""
+    return sphere_test(o[:, None, :], d[:, None, :], tmax[:, None],
+                       geom.sp_center[None], geom.sp_radius[None])
 
 
 # Above this many total surfaces the sweeps switch from one dense
@@ -442,6 +457,72 @@ def surface_normal(geom: Geometry, sid, position, d):
         n_sp = jnp.zeros_like(position)
 
     return jnp.where(is_planar[:, None], n_pl, n_sp)
+
+
+def _gram_uv(r, e1, e2):
+    """Solve r = u*e1 + v*e2 in the plane via the 2x2 Gram system; exact for
+    skewed bases (barycentric coords for triangles, parallelogram coords for
+    the reference's rects)."""
+    a = km.length_squared(e1)
+    b = km.dot(e1, e2)
+    c = km.length_squared(e2)
+    det = a * c - b * b
+    r1 = km.dot(r, e1)
+    r2 = km.dot(r, e2)
+    u = km.safe_div(c * r1 - b * r2, det)
+    v = km.safe_div(a * r2 - b * r1, det)
+    return u, v
+
+
+def surface_uv(geom: Geometry, sid, position):
+    """Texture coordinates at the hit (see scene/texture.py for the
+    conventions). sid: (N,) global surface row; position: (N, 3). -> (N, 2).
+
+    The reference's texture region is an empty stub (ky.cpp:2559-2563); the
+    parameterizations here are the standard ones per shape.
+    """
+    from kytpu.core import frame as kframe
+
+    P = geom.n_planar
+    is_planar = sid < P
+    pl_idx = jnp.clip(sid, 0, max(P - 1, 0))
+    sp_idx = jnp.clip(sid - P, 0, max(geom.n_sphere - 1, 0))
+
+    if P:
+        kind = geom.pl_kind[pl_idx]
+        p0 = geom.pl_p0[pl_idx]
+        p1 = geom.pl_p1[pl_idx]
+        p2 = geom.pl_p2[pl_idx]
+        # triangle: barycentric over (p0; p1-p0, p2-p0)
+        ut, vt = _gram_uv(position - p0, p1 - p0, p2 - p0)
+        # rectangle: corner p1 with edges to p0 (u) and p2 (v) — the corner
+        # the reference's area/normal formulas pivot on (ky.cpp:1261, 1304)
+        ur, vr = _gram_uv(position - p1, p0 - p1, p2 - p1)
+        # disk: frame coords around the center, mapped to [0,1]^2
+        s_ax, t_ax, _ = kframe.make_frame(geom.pl_normal[pl_idx])
+        inv2r = km.safe_div(0.5, geom.pl_radius[pl_idx])
+        rd = position - p0
+        ud = 0.5 + km.dot(rd, s_ax) * inv2r
+        vd = 0.5 + km.dot(rd, t_ax) * inv2r
+        u_pl = jnp.select([kind == TRI, kind == RECT], [ut, ur], ud)
+        v_pl = jnp.select([kind == TRI, kind == RECT], [vt, vr], vd)
+    else:
+        u_pl = jnp.zeros(position.shape[0], position.dtype)
+        v_pl = u_pl
+
+    if geom.n_sphere:
+        n = km.normalize(position - geom.sp_center[sp_idx])
+        theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(n[..., 1], n[..., 0])
+        phi = jnp.where(phi < 0.0, phi + km.TWO_PI, phi)
+        u_sp = phi * km.INV_2PI
+        v_sp = theta * km.INV_PI
+    else:
+        u_sp = jnp.zeros(position.shape[0], position.dtype)
+        v_sp = u_sp
+
+    return jnp.stack([jnp.where(is_planar, u_pl, u_sp),
+                      jnp.where(is_planar, v_pl, v_sp)], axis=-1)
 
 
 # re-export: the offset lives in core.math so light sampling can use it
