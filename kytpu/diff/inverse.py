@@ -111,6 +111,11 @@ def make_train_step(scene, target, spp: int = 4,
     if engine == "pallas":
         if mesh is not None:
             raise NotImplementedError("pallas train step is single-device")
+        if "tex_image" in names:
+            raise NotImplementedError(
+                "image-texture recovery needs the jnp engines "
+                "(engine='jnp'); the kernel differentiates checker colors "
+                "(tex_color_a/tex_color_b) only")
         from kytpu.kernels import wavefront as kwf
         from kytpu.scene import scene as kscene_mod
         train_exp = "mat_exponent" in names
@@ -128,6 +133,7 @@ def make_train_step(scene, target, spp: int = 4,
 
         env0 = (scene.env_radiance_ if scene.has_env
                 else jnp.zeros(3, jnp.float32))
+        has_tex = bool(scene.has_textures)
 
         def loss_of(params, key):
             u = jax.random.uniform(key, (spp * npix, 2))
@@ -135,8 +141,14 @@ def make_train_step(scene, target, spp: int = 4,
                 cam, jnp.stack([px0 + u[:, 0], py0 + u[:, 1]], -1))
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
             exp_arg = ((params["mat_exponent"],) if train_exp else ())
-            out = tracer(params["mat_diffuse"], params["mat_specular"],
-                         params["emission"], *exp_arg,
+            tex_arg = ()
+            if has_tex:
+                tex_arg = (params.get("tex_color_a", scene.textures.color_a),
+                           params.get("tex_color_b", scene.textures.color_b))
+            out = tracer(params.get("mat_diffuse", scene.mat_diffuse),
+                         params.get("mat_specular", scene.mat_specular),
+                         params.get("emission", scene.emission),
+                         *exp_arg, *tex_arg,
                          params.get("env_radiance_", env0), o, d, seed)
             img = out.reshape(spp, h, w, 3).mean(axis=0)
             return loss_fn(img, target)

@@ -224,7 +224,9 @@ def extract_static(scene):
     # checker-texture bindings (in-kernel support is planar-only; the
     # tracer factories below reject anything else before we get here)
     textures = []
+    n_textures = 0
     if getattr(scene, "has_textures", False):
+        n_textures = scene.textures.n_textures
         tex_id = np.asarray(scene.tex_id)
         tscale = np.asarray(scene.textures.scale)
         for m in range(len(tex_id)):
@@ -236,7 +238,8 @@ def extract_static(scene):
 
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
-                has_env=scene.has_env, textures=textures)
+                has_env=scene.has_env, textures=textures,
+                n_textures=n_textures)
 
 
 def _cv3(v):  # constant V3 from a python float triple (broadcasts with planes)
@@ -609,33 +612,42 @@ def _select_table3(sid, table_ref, m_rows):
     return V3(x, y, z)
 
 
-def _apply_checker(static, texa_ref, texb_ref, sid, hp: V3,
-                   diffuse: V3) -> V3:
-    """Replace the diffuse color on checker-textured surface rows.
+def _checker_parity(static, rec, hp: V3):
+    """Checker "even"-cell mask at hit position hp for one textured row.
 
     uv comes from the baked per-surface anchor + dual basis (planar only;
     the tracer factories reject sphere-bound and image textures before a
-    kernel is built — see _kernel_texture_support). Per textured row this
-    is 2 dot products + 2 floors + a parity select, masked by sid — pure
-    VPU code like the rest of the shading.
+    kernel is built — see _kernel_texture_support): 2 dot products +
+    2 floors + a parity compare, pure VPU code.
     """
-    for rec in static["textures"]:
-        m = rec["row"]
-        s = static["planar"][m]
-        rel = hp - _cv3(s["uv_anchor"])
-        u = rel.dot(_cv3(s["uv_f1"]))
-        v = rel.dot(_cv3(s["uv_f2"]))
-        if s.get("uv_disk"):
-            u = u + np.float32(0.5)
-            v = v + np.float32(0.5)
-        pu = jnp.floor(u * np.float32(rec["scale"][0])).astype(jnp.int32)
-        pv = jnp.floor(v * np.float32(rec["scale"][1])).astype(jnp.int32)
-        even = ((pu + pv) & 1) == 0
-        t = rec["tex"]
-        ca = V3(jnp.where(even, texa_ref[t, 0], texb_ref[t, 0]),
-                jnp.where(even, texa_ref[t, 1], texb_ref[t, 1]),
-                jnp.where(even, texa_ref[t, 2], texb_ref[t, 2]))
-        diffuse = ca.where(sid == m, diffuse)
+    s = static["planar"][rec["row"]]
+    rel = hp - _cv3(s["uv_anchor"])
+    u = rel.dot(_cv3(s["uv_f1"]))
+    v = rel.dot(_cv3(s["uv_f2"]))
+    if s.get("uv_disk"):
+        u = u + np.float32(0.5)
+        v = v + np.float32(0.5)
+    pu = jnp.floor(u * np.float32(rec["scale"][0])).astype(jnp.int32)
+    pv = jnp.floor(v * np.float32(rec["scale"][1])).astype(jnp.int32)
+    return ((pu + pv) & 1) == 0
+
+
+def _checker_color(rec, even, texa_ref, texb_ref) -> V3:
+    t = rec["tex"]
+    return V3(jnp.where(even, texa_ref[t, 0], texb_ref[t, 0]),
+              jnp.where(even, texa_ref[t, 1], texb_ref[t, 1]),
+              jnp.where(even, texa_ref[t, 2], texb_ref[t, 2]))
+
+
+def _apply_checker(static, texa_ref, texb_ref, sid, hp: V3, diffuse: V3,
+                   parities=None) -> V3:
+    """Replace the diffuse color on checker-textured surface rows, masked
+    by sid. `parities`: precomputed even-masks (one per textured row)."""
+    for i, rec in enumerate(static["textures"]):
+        even = parities[i] if parities is not None \
+            else _checker_parity(static, rec, hp)
+        col = _checker_color(rec, even, texa_ref, texb_ref)
+        diffuse = col.where(sid == rec["row"], diffuse)
     return diffuse
 
 
@@ -1159,10 +1171,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     M = len(mats["kind"])
     L = len(lights)
     tex_recs = static.get("textures", [])
-    # the differentiable tracers reject textured scenes before building a
-    # kernel (no checker-color adjoints yet)
-    assert not (tex_recs and (grad or residual)), \
-        "textured scenes have no kernel backward"
+    n_tex = static.get("n_textures", 0) if tex_recs else 0
     world_radius = static["world_radius"]
     lobes = mats["lobes"]
     eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
@@ -1212,12 +1221,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             si_ref = rest.pop(0)    # per-lane sample index (int32)
             pix_ref = rest.pop(0)   # per-lane pixel id (int32)
         if grad:
-            if use_texp:
-                (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-                 dd_ref, ds_ref, de_ref, denv_ref, dxp_ref) = rest
-            else:
-                (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-                 dd_ref, ds_ref, de_ref, denv_ref) = rest
+            (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+             dd_ref, ds_ref, de_ref, denv_ref) = rest[:10]
+            rest2 = list(rest[10:])
+            dxp_ref = rest2.pop(0) if use_texp else None
+            dta_ref = rest2.pop(0) if tex_recs else None
+            dtb_ref = rest2.pop(0) if tex_recs else None
         elif residual:
             (lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = rest
             res_planes = [None] * res_n
@@ -1254,6 +1263,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             acc_env = v3_zeros(o.x)   # d env_radiance (env light only)
             if use_texp:
                 acc_x = [jnp.zeros(shp, jnp.float32) for _ in range(M)]
+            if tex_recs:
+                acc_ta = [v3_zeros(o.x) for _ in range(n_tex)]
+                acc_tb = [v3_zeros(o.x) for _ in range(n_tex)]
 
             def row_add(acc, rows, sid, val: V3):
                 for m in rows:
@@ -1354,8 +1366,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 else np.float32(1.0)
             diffuse = _select_table3(sid, diffuse_ref, rows_d)
             if tex_recs:
+                tex_par = [_checker_parity(static, rec, hp)
+                           for rec in tex_recs]
                 diffuse = _apply_checker(static, texa_ref, texb_ref, sid,
-                                         hp, diffuse)
+                                         hp, diffuse, tex_par)
             specular = _select_table3(sid, specular_ref, rows_s)
             mk = jnp.zeros(shp, jnp.int32)
             for m in range(M):
@@ -1659,11 +1673,21 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 else:
                     to_spec_t = sid < -1   # statically false
                 # packed per-bounce int plane: sid+1 | lobe_is_phong<<8
-                # | to_spec_t<<9 (masks as compare-born int32)
-                res_ints[bounce] = (
+                # | to_spec_t<<9 | checker_even<<10 (masks as compare-born
+                # int32; the parity bit lets the residual backward
+                # reconstruct the textured diffuse value without hp)
+                packed = (
                     (sid + 1)
                     + lobe_is_phong.astype(jnp.int32) * np.int32(256)
                     + to_spec_t.astype(jnp.int32) * np.int32(512))
+                if tex_recs:
+                    tex_even = jnp.zeros(shp, jnp.int32)
+                    for ti, rec in enumerate(tex_recs):
+                        onrow = sid == rec["row"]
+                        tex_even = jnp.where(
+                            onrow & tex_par[ti], np.int32(1), tex_even)
+                    packed = packed + tex_even * np.int32(1024)
+                res_ints[bounce] = packed
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1712,7 +1736,29 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     addx = addx + jnp.where(lobe_is_phong, dsum_t * kap_s,
                                             0.0)
                 # the single per-bounce row scatter of all material-color
-                # adjoint terms (L NEE lights + the extension sample)
+                # adjoint terms (L NEE lights + the extension sample).
+                # On checker-textured rows the diffuse VALUE came from the
+                # texture colors, so route the adjoint there (by the hit's
+                # cell parity) and zero the diffuse-table share.
+                if tex_recs:
+                    for ti, rec in enumerate(tex_recs):
+                        onrow = sid == rec["row"]
+                        even = tex_par[ti]
+                        t = rec["tex"]
+                        sel_a = onrow & even
+                        sel_b = onrow & ~even
+                        acc_ta[t] = V3(
+                            acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
+                            acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
+                            acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
+                        acc_tb[t] = V3(
+                            acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
+                            acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
+                            acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
+                        addc_diff = V3(
+                            jnp.where(onrow, 0.0, addc_diff.x),
+                            jnp.where(onrow, 0.0, addc_diff.y),
+                            jnp.where(onrow, 0.0, addc_diff.z))
                 row_add(acc_d, rows_d, sid, addc_diff)
                 if has_delta or has_plastic:
                     row_add(acc_s, rows_s, sid, addc_spec)
@@ -1732,15 +1778,18 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         if grad:
             def stack_acc(acc):
                 planes = []
-                for m in range(M):
+                for m in range(len(acc)):
                     planes.extend([acc[m].x, acc[m].y, acc[m].z])
-                return jnp.stack(planes, axis=0)   # (3M, R, 128)
+                return jnp.stack(planes, axis=0)   # (3*len, R, 128)
 
             arr_d = stack_acc(acc_d)
             arr_s = stack_acc(acc_s)
             arr_e = stack_acc(acc_e)
             arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
             arr_x = jnp.stack(acc_x, axis=0) if use_texp else None
+            if tex_recs:
+                arr_ta = stack_acc(acc_ta)
+                arr_tb = stack_acc(acc_tb)
 
             @pl.when(pid == 0)
             def _():
@@ -1750,6 +1799,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 denv_ref[:] = arr_env
                 if use_texp:
                     dxp_ref[:] = arr_x
+                if tex_recs:
+                    dta_ref[:] = arr_ta
+                    dtb_ref[:] = arr_tb
 
             @pl.when(pid != 0)
             def _():
@@ -1757,6 +1809,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 ds_ref[:] = ds_ref[:] + arr_s
                 de_ref[:] = de_ref[:] + arr_e
                 denv_ref[:] = denv_ref[:] + arr_env
+                if tex_recs:
+                    dta_ref[:] = dta_ref[:] + arr_ta
+                    dtb_ref[:] = dtb_ref[:] + arr_tb
                 if use_texp:
                     dxp_ref[:] = dxp_ref[:] + arr_x
         else:
@@ -1800,17 +1855,22 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
     has_spec = any(mats["kind"][m] != kbsdf.MAT_MATTE for m in range(M))
     use_texp = cfg.trainable_exponent
     rows_x = [m for m in range(M) if mats["kind"][m] == kbsdf.MAT_PLASTIC]
+    tex_recs = static.get("textures", [])
+    n_tex = static.get("n_textures", 0) if tex_recs else 0
     res_ix, _ = _residual_layout(static, cfg)
 
     def kernel(*refs):
-        (seed_ref, diffuse_ref, specular_ref, emission_ref,
-         light_emit_ref, env_ref,
+        (seed_ref, diffuse_ref, specular_ref, emission_ref) = refs[:4]
+        rest = list(refs[4:])
+        texa_ref = rest.pop(0) if tex_recs else None
+        texb_ref = rest.pop(0) if tex_recs else None
+        (light_emit_ref, env_ref,
          gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
-         resf_ref, resi_ref) = refs[:14]
-        if use_texp:
-            (dd_ref, ds_ref, de_ref, denv_ref, dxp_ref) = refs[14:]
-        else:
-            (dd_ref, ds_ref, de_ref, denv_ref) = refs[14:]
+         resf_ref, resi_ref, dd_ref, ds_ref, de_ref, denv_ref) = rest[:14]
+        rest = rest[14:]
+        dxp_ref = rest.pop(0) if use_texp else None
+        dta_ref = rest.pop(0) if tex_recs else None
+        dtb_ref = rest.pop(0) if tex_recs else None
         pid = pl.program_id(0)
         g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
         r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
@@ -1822,6 +1882,9 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         acc_env = v3_zeros(g.x)
         if use_texp:
             acc_x = [jnp.zeros(shp, jnp.float32) for _ in range(M)]
+        if tex_recs:
+            acc_ta = [v3_zeros(g.x) for _ in range(n_tex)]
+            acc_tb = [v3_zeros(g.x) for _ in range(n_tex)]
 
         def row_add(acc, rows, sid, val: V3):
             for m in rows:
@@ -1853,6 +1916,13 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             lobe_is_phong = (ib & np.int32(256)) != 0
             to_spec_t = (ib & np.int32(512)) != 0
             diff_sel = _select_table3(sid, diffuse_ref, rows_d)
+            if tex_recs:
+                # the forward cached the checker parity (bit 10): the
+                # diffuse VALUE on textured rows is the texture color
+                tex_even = (ib & np.int32(1024)) != 0
+                for rec in tex_recs:
+                    col = _checker_color(rec, tex_even, texa_ref, texb_ref)
+                    diff_sel = col.where(sid == rec["row"], diff_sel)
             spec_sel = _select_table3(sid, specular_ref, rows_s) \
                 if has_spec else v3_zeros(g.x)
             emit_sel = _select_table3(sid, emission_ref, rows_e)
@@ -1948,6 +2018,25 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                 addx = addx + (gb.x * r_next.x * spec_sel.x
                                + gb.y * r_next.y * spec_sel.y
                                + gb.z * r_next.z * spec_sel.z) * tuk
+            if tex_recs:
+                # route textured rows' diffuse adjoints to the checker
+                # colors by the cached parity, zero the table share
+                for rec in tex_recs:
+                    onrow = sid == rec["row"]
+                    t = rec["tex"]
+                    sel_a = onrow & tex_even
+                    sel_b = onrow & ~tex_even
+                    acc_ta[t] = V3(
+                        acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
+                        acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
+                        acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
+                    acc_tb[t] = V3(
+                        acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
+                        acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
+                        acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
+                    addc_diff = V3(jnp.where(onrow, 0.0, addc_diff.x),
+                                   jnp.where(onrow, 0.0, addc_diff.y),
+                                   jnp.where(onrow, 0.0, addc_diff.z))
             row_add(acc_d, rows_d, sid, addc_diff)
             if has_spec:
                 row_add(acc_s, rows_s, sid, addc_spec)
@@ -1958,7 +2047,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
 
         def stack_acc(acc):
             planes = []
-            for m in range(M):
+            for m in range(len(acc)):
                 planes.extend([acc[m].x, acc[m].y, acc[m].z])
             return jnp.stack(planes, axis=0)
 
@@ -1967,6 +2056,9 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         arr_e = stack_acc(acc_e)
         arr_env = jnp.stack([acc_env.x, acc_env.y, acc_env.z], axis=0)
         arr_x = jnp.stack(acc_x, axis=0) if use_texp else None
+        if tex_recs:
+            arr_ta = stack_acc(acc_ta)
+            arr_tb = stack_acc(acc_tb)
 
         @pl.when(pid == 0)
         def _():
@@ -1976,6 +2068,9 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             denv_ref[:] = arr_env
             if use_texp:
                 dxp_ref[:] = arr_x
+            if tex_recs:
+                dta_ref[:] = arr_ta
+                dtb_ref[:] = arr_tb
 
         @pl.when(pid != 0)
         def _():
@@ -1985,6 +2080,9 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             denv_ref[:] = denv_ref[:] + arr_env
             if use_texp:
                 dxp_ref[:] = dxp_ref[:] + arr_x
+            if tex_recs:
+                dta_ref[:] = dta_ref[:] + arr_ta
+                dtb_ref[:] = dtb_ref[:] + arr_tb
 
     return kernel
 
@@ -2137,6 +2235,15 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     then zero). Ray-origin/direction cotangents are zero (geometry
     derivatives are out of scope, as in the jnp detached-sampling path).
 
+    Checker-textured scenes (planar checkers; see _kernel_texture_support)
+    gain two positional args after emission (or after exponent when
+    trainable_exponent): fn(..., texa, texb, env, o, d, seed), the (T, 3)
+    checker color tables, with exact (d_texa, d_texb) adjoints: the
+    diffuse-value adjoint at a textured vertex routes to color_a or
+    color_b by the hit's cell parity (recomputed in the replay backward,
+    cached as res_ints bit 10 in the residual backward), and the
+    diffuse-table share on those rows is identically zero.
+
     backward="residual" (production): the forward kernel additionally
     writes a compact per-bounce coefficient cache (~7 planes/bounce, see
     _residual_layout) and the backward kernel is pure table-select + FMA
@@ -2164,10 +2271,9 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     """
     cfg = cfg or KernelConfig()
     assert backward in ("residual", "replay"), backward
-    if getattr(scene, "has_textures", False):
-        raise NotImplementedError(
-            "the Pallas megakernel does not evaluate UV textures yet — "
-            "differentiate textured scenes with the jnp engines")
+    tex_err = _kernel_texture_support(scene)
+    if tex_err:
+        raise NotImplementedError(tex_err)
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
@@ -2184,6 +2290,8 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     m_rows = int(scene.mat_kind.shape[0])
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
+    has_tex = bool(static["textures"])
+    t_rows = static["n_textures"] if has_tex else 0
     light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
         if n_lights else []
     env_row = next((i for i, k in enumerate(scene.lights.kinds)
@@ -2226,10 +2334,10 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return emit
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, exponent, env, o, d, seed,
-              si=None, pix=None):
-        return _fwd_impl(diffuse, specular, emission, exponent, env, o, d,
-                         seed, si, pix)
+    def trace(diffuse, specular, emission, exponent, texa, texb, env, o, d,
+              seed, si=None, pix=None):
+        return _fwd_impl(diffuse, specular, emission, exponent, texa, texb,
+                         env, o, d, seed, si, pix)
 
     def _exp_args(exponent):
         """(pallas inputs, in_specs) for the exponent table."""
@@ -2238,8 +2346,16 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return [exponent], [pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
                                          memory_space=pltpu.SMEM)]
 
-    def _fwd_impl(diffuse, specular, emission, exponent, env, o, d, seed,
-                  si, pix):
+    def _tex_args(texa, texb):
+        """(pallas inputs, in_specs) for the checker color tables."""
+        if not has_tex:
+            return [], []
+        smem_t = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)
+        return [texa, texb], [smem_t((t_rows, 3)), smem_t((t_rows, 3))]
+
+    def _fwd_impl(diffuse, specular, emission, exponent, texa, texb, env,
+                  o, d, seed, si, pix):
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2248,11 +2364,12 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
         exp_in, exp_spec = _exp_args(exponent)
+        tex_in, tex_spec = _tex_args(texa, texb)
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3))]
-            + exp_spec
+            + exp_spec + tex_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
@@ -2260,7 +2377,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, *exp_in, _light_emit_of(emission, env),
+          emission, *exp_in, *tex_in, _light_emit_of(emission, env),
           env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
@@ -2275,13 +2392,14 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     def _reduce(a):
         return a.sum(axis=(1, 2)).reshape(m_rows, 3)
 
-    def _fwd(diffuse, specular, emission, exponent, env, o, d, seed,
-             si=None, pix=None):
+    def _fwd(diffuse, specular, emission, exponent, texa, texb, env, o, d,
+             seed, si=None, pix=None):
         if backward == "replay":
-            big_l = _fwd_impl(diffuse, specular, emission, exponent, env,
-                              o, d, seed, si, pix)
-            return big_l, (diffuse, specular, emission, exponent, env, o, d,
-                           seed, si, pix, big_l, None, None)
+            big_l = _fwd_impl(diffuse, specular, emission, exponent, texa,
+                              texb, env, o, d, seed, si, pix)
+            return big_l, (diffuse, specular, emission, exponent, texa,
+                           texb, env, o, d, seed, si, pix, big_l, None,
+                           None)
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2290,6 +2408,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
         exp_in, exp_spec = _exp_args(exponent)
+        tex_in, tex_spec = _tex_args(texa, texb)
         n_bounce = cfg.max_depth + 1
 
         def res_blk(nplanes):
@@ -2301,7 +2420,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             fwd_res_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       smem((m_rows, 3)), smem((m_rows, 3)), smem((m_rows, 3))]
-            + exp_spec
+            + exp_spec + tex_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk, res_blk(res_n), res_blk(n_bounce)],
@@ -2311,16 +2430,16 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                jax.ShapeDtypeStruct((n_bounce, rows, LANE), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), diffuse, specular,
-          emission, *exp_in, _light_emit_of(emission, env),
+          emission, *exp_in, *tex_in, _light_emit_of(emission, env),
           env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
         big_l = jnp.stack([lx, ly, lz], axis=-1)
-        return big_l, (diffuse, specular, emission, None, env, o, d, seed,
-                       si, pix, big_l, resf, resi)
+        return big_l, (diffuse, specular, emission, None, texa, texb, env,
+                       o, d, seed, si, pix, big_l, resf, resi)
 
     def _bwd(res, g):
-        (diffuse, specular, emission, exponent, env, o, d, seed, si, pix,
-         big_l, resf, resi) = res
+        (diffuse, specular, emission, exponent, texa, texb, env, o, d,
+         seed, si, pix, big_l, resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2330,6 +2449,25 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         light_emit = _light_emit_of(emission, env)
         dexp = None
+        dta = dtb = None
+        acc_extra_specs = ([_acc_blk(m_rows)] if use_texp else []) \
+            + ([_acc_blk(3 * t_rows), _acc_blk(3 * t_rows)]
+               if has_tex else [])
+        acc_extra_shapes = ([_acc_shape(m_rows)] if use_texp else []) \
+            + ([_acc_shape(3 * t_rows), _acc_shape(3 * t_rows)]
+               if has_tex else [])
+
+        def _unpack(outs):
+            nonlocal dexp, dta, dtb
+            outs = list(outs)
+            dd, ds, de, denv = outs[:4]
+            outs = outs[4:]
+            if use_texp:
+                dexp = outs.pop(0).sum(axis=(1, 2)).reshape(m_rows)
+            if has_tex:
+                dta = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
+                dtb = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
+            return dd, ds, de, denv
 
         if backward == "residual":
             def res_blk(nplanes):
@@ -2337,77 +2475,93 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
 
+            tex_in, tex_spec = _tex_args(texa, texb)
             outs = pl.pallas_call(
                 bwd_res_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
-                          smem((m_rows, 3)),
-                          smem((max(n_lights, 1), 3)), smem((1, 3)),
-                          blk, blk, blk, blk, blk, blk,
-                          res_blk(res_n), res_blk(cfg.max_depth + 1)],
+                          smem((m_rows, 3))]
+                + tex_spec
+                + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+                   blk, blk, blk, blk, blk, blk,
+                   res_blk(res_n), res_blk(cfg.max_depth + 1)],
                 out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
                            _acc_blk(3 * m_rows), _acc_blk(3)]
-                + ([_acc_blk(m_rows)] if use_texp else []),
+                + acc_extra_specs,
                 out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
                            _acc_shape(3 * m_rows), _acc_shape(3)]
-                + ([_acc_shape(m_rows)] if use_texp else []),
+                + acc_extra_shapes,
                 interpret=interpret,
-            )(seed_arr, diffuse, specular, emission, light_emit,
+            )(seed_arr, diffuse, specular, emission, *tex_in, light_emit,
               env.reshape(1, 3), gx, gy, gz, flx, fly, flz, resf, resi)
-            if use_texp:
-                dd, ds, de, denv, dx_acc = outs
-                dexp = dx_acc.sum(axis=(1, 2)).reshape(m_rows)
-            else:
-                dd, ds, de, denv = outs
+            dd, ds, de, denv = _unpack(outs)
         else:
             ox, oy, oz = _planes(o, n, npad, rows)
             dx, dy, dz = _planes(d, n, npad, rows)
             extra = _iplanes(si, pix, n, npad, rows)
             exp_in, exp_spec = _exp_args(exponent)
+            tex_in, tex_spec = _tex_args(texa, texb)
             outs = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
                           smem((m_rows, 3))]
-                + exp_spec
+                + exp_spec + tex_spec
                 + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                    blk, blk, blk, blk, blk, blk]
                 + [blk] * len(extra)
                 + [blk, blk, blk, blk, blk, blk],
                 out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
                            _acc_blk(3 * m_rows), _acc_blk(3)]
-                + ([_acc_blk(m_rows)] if use_texp else []),
+                + acc_extra_specs,
                 out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
                            _acc_shape(3 * m_rows), _acc_shape(3)]
-                + ([_acc_shape(m_rows)] if use_texp else []),
+                + acc_extra_shapes,
                 interpret=interpret,
-            )(seed_arr, diffuse, specular, emission, *exp_in, light_emit,
-              env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra,
-              gx, gy, gz, flx, fly, flz)
-            if use_texp:
-                dd, ds, de, denv, dx_acc = outs
-                dexp = dx_acc.sum(axis=(1, 2)).reshape(m_rows)
-            else:
-                dd, ds, de, denv = outs
-                dexp = None
+            )(seed_arr, diffuse, specular, emission, *exp_in, *tex_in,
+              light_emit, env.reshape(1, 3), ox, oy, oz, dx, dy, dz,
+              *extra, gx, gy, gz, flx, fly, flz)
+            dd, ds, de, denv = _unpack(outs)
 
         if dexp is None:
             dexp = jnp.zeros((m_rows,), jnp.float32)
-        return (_reduce(dd), _reduce(ds), _reduce(de), dexp,
+        if dta is None:
+            dta = jnp.zeros((t_rows, 3), jnp.float32)
+            dtb = jnp.zeros((t_rows, 3), jnp.float32)
+        return (_reduce(dd), _reduce(ds), _reduce(de), dexp, dta, dtb,
                 denv.sum(axis=(1, 2)).reshape(3),
                 jnp.zeros_like(o), jnp.zeros_like(d), None, None, None)
 
     trace.defvjp(_fwd, _bwd)
     trace_jit = jax.jit(trace)
-    if use_texp:
-        return trace_jit
+    # defaults for non-trainable slots (cotangents are discarded): the
+    # exponent table, and the scene's checker color tables
+    exp0 = scene.mat_exponent
+    tex_a0 = scene.textures.color_a if has_tex \
+        else jnp.zeros((0, 3), jnp.float32)
+    tex_b0 = scene.textures.color_b if has_tex \
+        else jnp.zeros((0, 3), jnp.float32)
 
-    def public(diffuse, specular, emission, env, o, d, seed, si=None,
-               pix=None):
-        # exponent stays a baked constant; pass the scene's table so the
-        # custom_vjp signature is uniform (its cotangent is discarded)
-        return trace_jit(diffuse, specular, emission, scene.mat_exponent,
-                         env, o, d, seed, si, pix)
+    if use_texp and has_tex:
+        def public(diffuse, specular, emission, exponent, texa, texb, env,
+                   o, d, seed, si=None, pix=None):
+            return trace_jit(diffuse, specular, emission, exponent, texa,
+                             texb, env, o, d, seed, si, pix)
+    elif use_texp:
+        def public(diffuse, specular, emission, exponent, env, o, d, seed,
+                   si=None, pix=None):
+            return trace_jit(diffuse, specular, emission, exponent, tex_a0,
+                             tex_b0, env, o, d, seed, si, pix)
+    elif has_tex:
+        def public(diffuse, specular, emission, texa, texb, env, o, d,
+                   seed, si=None, pix=None):
+            return trace_jit(diffuse, specular, emission, exp0, texa, texb,
+                             env, o, d, seed, si, pix)
+    else:
+        def public(diffuse, specular, emission, env, o, d, seed, si=None,
+                   pix=None):
+            return trace_jit(diffuse, specular, emission, exp0, tex_a0,
+                             tex_b0, env, o, d, seed, si, pix)
 
     return public
 

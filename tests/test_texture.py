@@ -248,14 +248,93 @@ def test_megakernel_checker_matches_fast():
     assert err < 0.03, err
 
 
+@pytest.mark.parametrize("backward", ["replay", "residual"])
+def test_megakernel_checker_gradients_match_fd(backward):
+    """Checker-color adjoints through the megakernel, both backwards:
+    AD == central FD of the SAME deterministic kernel forward (the
+    diffuse-value adjoint routes to color_a/color_b by cell parity;
+    the diffuse-table share on textured rows is zero)."""
+    import jax
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.scene import scene as kscene
+    scene = builders.cornell_box(width=8, height=8, floor_checker=True)
+    cfg = kwf.KernelConfig(max_depth=3, rows=8)
+    tracer = kwf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                         backward=backward)
+    n = 64
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    env0 = jnp.zeros(3, jnp.float32)
+    p0 = (scene.textures.color_a, scene.textures.color_b)
+
+    def loss(texa, texb):
+        out = tracer(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                     texa, texb, env0, o, d, seed)
+        return jnp.mean(out)
+
+    g = jax.grad(loss, argnums=(0, 1))(*p0)
+    eps = 1e-2
+    checked = 0
+    for argi in (0, 1):
+        for ch in (0, 2):
+            args_p = list(p0)
+            args_m = list(p0)
+            args_p[argi] = p0[argi].at[0, ch].add(eps)
+            args_m[argi] = p0[argi].at[0, ch].add(-eps)
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            ad = float(g[argi][0, ch])
+            assert np.isfinite(ad) and np.isfinite(fd), (argi, ch, ad, fd)
+            assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), \
+                (argi, ch, ad, fd)
+            checked += abs(ad) > 1e-4
+    assert checked >= 2  # both checker colors carry real gradient
+
+    # the floor row's diffuse-table gradient must be zero (value unused)
+    def loss_d(diffuse):
+        out = tracer(diffuse, scene.mat_specular, scene.emission,
+                     *p0, env0, o, d, seed)
+        return jnp.mean(out)
+
+    gd = np.asarray(jax.grad(loss_d)(scene.mat_diffuse))
+    floor_row = 3  # cornell floor is the 4th surface added
+    np.testing.assert_allclose(gd[floor_row], 0.0, atol=1e-8)
+
+
+def test_pallas_train_step_recovers_checker_colors():
+    """make_train_step(engine='pallas', names=('tex_color_a','tex_color_b'))
+    routes checker-color gradients through the kernel backward and reduces
+    the loss toward the true colors (interpret mode)."""
+    import jax
+    from kytpu.diff import get_params, set_params
+    from kytpu.diff.inverse import make_train_step, render_once
+    scene = builders.cornell_box(width=8, height=8, floor_checker=True)
+    cfg = PathConfig(max_depth=2)
+    key = jax.random.key(11)
+    target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=cfg))
+    names = ("tex_color_a", "tex_color_b")
+    true = get_params(scene, names)
+    wrong = set_params(scene, {n: v * 0.4 for n, v in true.items()})
+    step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
+                                        engine="pallas", names=names)
+    losses = []
+    for i in range(4):
+        params, opt, loss = step(params, opt, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
 def test_megakernel_rejects_unsupported_textures():
     from kytpu.kernels import wavefront as kwf
-    # image textures: jnp engines only
+    # image textures: jnp engines only (fwd and bwd)
     img = np.full((4, 4, 3), 0.5, np.float32)
     sc_img = builders.cornell_box(width=16, height=16, back_image=img)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_tracer(sc_img, interpret=True)
-    # any textured scene has no kernel backward yet
-    sc_chk = builders.cornell_box(width=16, height=16, floor_checker=True)
     with pytest.raises(NotImplementedError):
-        kwf.make_pallas_diff_tracer(sc_chk, interpret=True)
+        kwf.make_pallas_diff_tracer(sc_img, interpret=True)
