@@ -29,14 +29,33 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"))
 
 
-def _time(fn, n=3):
-    jax.block_until_ready(fn())
-    ts = []
-    for _ in range(n):
+def _fetch(v):
+    # materialize ONE host value: the only reliable completion wait
+    # through the tunnel (block_until_ready returns at dispatch, and
+    # repeated identical launches can be serviced without real work —
+    # see benchmarks/bf16_probe.py / CLAUDE.md)
+    return float(jnp.ravel(jax.tree.leaves(v)[0])[0])
+
+
+def _time(fn, n=4):
+    """Steady-state marginal seconds per launch.
+
+    `fn(i)` must launch with an i-dependent input (seed/key) and return a
+    jax value. Times n+1 launches vs 1, fetching the final value to drain
+    the in-order queue; the difference cancels pipeline fill and the
+    ~27 ms per-call host round-trip a real render loop never pays."""
+    _fetch(fn(0))            # warmup / compile
+
+    def run(k, base):
+        _fetch(fn(base))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        v = None
+        for i in range(k):
+            v = fn(base + 1 + i)
+        _fetch(v)
+        return time.perf_counter() - t0
+
+    return (run(n + 1, 200) - run(1, 100)) / n
 
 
 def main():
@@ -84,7 +103,8 @@ def main():
                 fn = jax.jit(lambda k, sc=sc: trace_lanes(
                     sc, k, px, py, pid, sid, FastConfig(max_depth=3),
                     "fast", None))
-                dt = _time(lambda: fn(key), n=2)
+                dt = _time(lambda i: fn(jax.random.fold_in(key, i)),
+                           n=2)
                 kind = "grid" if sc.accel is not None else "sweep"
                 results.append(dict(
                     metric=f"scale_{n_sph}_spheres_{kind}_rays_per_s",
@@ -92,7 +112,7 @@ def main():
                     config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
                            f"{n_lanes} lanes, jnp fast, accel={kind}"))
         for r in results:
-            r["value"] = round(float(r["value"]), 2)
+            r["value"] = round(float(r["value"]), 6 if r["unit"] == "s" else 2)
             print(json.dumps(r))
         return
 
@@ -101,8 +121,8 @@ def main():
     spp = 16 if quick else 64
     scene = builders.cornell_box(width=size, height=size)
     kcfg = kwf.KernelConfig(max_depth=5)
-    dt = _time(lambda: kwf.render_pallas(scene, spp=spp, seed=1, cfg=kcfg),
-               n=2)
+    dt = _time(lambda i: kwf.render_pallas(scene, spp=spp, seed=1 + i,
+                                           cfg=kcfg), n=2)
     rays = size * size * spp
     results.append(dict(metric="cornell_render_rays_per_s", value=rays / dt,
                         unit="rays/s", config=f"{size}x{size}@{spp}spp"))
@@ -119,12 +139,13 @@ def main():
     py = (pid // 512).astype(jnp.float32) + u[:, 1]
     o, d = kscene.generate_rays(scene_v.camera, jnp.stack([px, py], -1))
     jax.block_until_ready((o, d))
-    dt = _time(lambda: tracer(scene_v, o, d, jnp.int32(3)))
+    dt = _time(lambda i: tracer(scene_v, o, d, jnp.int32(3 + i)))
     results.append(dict(metric="veach_fwd_rays_per_s", value=n / dt,
                         unit="rays/s", config=f"{n} lanes, depth 5"))
 
     # 3. AOV pass (deterministic geometry oracle)
-    dt = _time(lambda: render(scene_v, spp=4, mode="aov", aov="normal"))
+    dt = _time(lambda i: render(scene_v, spp=4, seed=1 + i, mode="aov",
+                                aov="normal"))
     results.append(dict(metric="aov_normal_rays_per_s",
                         value=npix * 4 / dt, unit="rays/s",
                         config="512x308@4spp"))
@@ -139,15 +160,15 @@ def main():
                                         engine="pallas")
     k = jax.random.key(0)
 
-    def one():
-        p2, o2, loss = step(params, opt, k)
+    def one(i):
+        p2, o2, loss = step(params, opt, jax.random.fold_in(k, i))
         return loss
     dt = _time(one)
     results.append(dict(metric="inverse_step_seconds", value=dt, unit="s",
                         config=f"cornell {size_i}^2 @4spp depth3 PRB"))
 
     for r in results:
-        r["value"] = round(float(r["value"]), 2)
+        r["value"] = round(float(r["value"]), 6 if r["unit"] == "s" else 2)
         print(json.dumps(r))
 
 

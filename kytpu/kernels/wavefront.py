@@ -95,6 +95,10 @@ def _dual_basis(e1, e2):
 
 
 def extract_static(scene):
+    # bulk-fetch every leaf to host up front: the per-element np.asarray
+    # reads below would otherwise each pay a device round trip through the
+    # tunnel (~25 ms x ~100 reads = seconds per call, measured)
+    scene = jax.device_get(scene)
     g = scene.geometry
     planar = []
     for i in range(g.n_planar):
@@ -2117,6 +2121,41 @@ def _kernel_texture_support(scene):
     return None
 
 
+def _static_digest(static, extra=()):
+    """Content hash of the baked-constant scene extraction (plus any
+    closure defaults) — the memo key for compiled tracers."""
+    import hashlib
+
+    h = hashlib.sha1()
+
+    def walk(v):
+        if isinstance(v, dict):
+            for k in sorted(v):
+                h.update(str(k).encode())
+                walk(v[k])
+        elif isinstance(v, (list, tuple)):
+            h.update(b"[")
+            for x in v:
+                walk(x)
+        elif isinstance(v, (np.ndarray, jnp.ndarray)):
+            a = np.asarray(v)
+            h.update(str(a.dtype).encode() + str(a.shape).encode()
+                     + a.tobytes())
+        else:
+            h.update(repr(v).encode())
+
+    walk(static)
+    walk(list(extra))
+    return h.hexdigest()
+
+
+# tracer memo: rebuilding a tracer re-traces the whole kernel builder
+# (seconds of host time per call even with the persistent compile cache),
+# so render_pallas/make_train_step callers that recreate tracers per frame
+# would otherwise pay it every time
+_TRACER_MEMO: dict = {}
+
+
 def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                        interpret: bool = False):
     """Build a jitted lane tracer for `scene`'s (static) geometry.
@@ -2142,6 +2181,10 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
         # pltpu.prng_* primitives
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
+    memo_key = ("fwd", _static_digest(static), cfg, repr(interpret))
+    cached = _TRACER_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     kernel = _make_kernel(static, cfg, hw_rng=(interpret is False))
     m_rows = int(scene.mat_kind.shape[0])
     n_lights = int(scene.n_lights)
@@ -2211,6 +2254,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
+    _TRACER_MEMO[memo_key] = trace
     return trace
 
 
@@ -2277,6 +2321,23 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
+    # closure defaults baked into the returned fn (beyond the static
+    # extraction): the exponent table and checker-color defaults, and the
+    # light->surface-row adjoint routing
+    _extra = (np.asarray(scene.mat_exponent),
+              np.asarray(scene.textures.color_a)
+              if getattr(scene, "has_textures", False) else 0,
+              np.asarray(scene.textures.color_b)
+              if getattr(scene, "has_textures", False) else 0,
+              [int(v) for v in np.asarray(scene.lights.surface_ids)]
+              if scene.n_lights else [],
+              [int(v) for v in np.asarray(scene.lights.kinds)]
+              if scene.n_lights else [])
+    memo_key = ("diff", _static_digest(static, _extra), cfg, backward,
+                repr(interpret))
+    cached = _TRACER_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     hw = interpret is False
     use_texp = cfg.trainable_exponent
     fwd_kernel = _make_kernel(static, cfg, hw_rng=hw, grad=False)
@@ -2563,6 +2624,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             return trace_jit(diffuse, specular, emission, exp0, tex_a0,
                              tex_b0, env, o, d, seed, si, pix)
 
+    _TRACER_MEMO[memo_key] = public
     return public
 
 
@@ -2597,36 +2659,58 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
     py0 = (pid // w).astype(jnp.float32)
     key = jax.random.key(seed)
 
-    if use_sobol:
-        pid_k = jnp.tile(pid, k)
-        # camera-jitter draw site: per-pixel keys, sample-independent
-        cam_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pid_k)
+    # one_pass is cached on the (memoized) tracer so repeated full-frame
+    # renders don't re-trace the kernel builder every call; everything
+    # seed-dependent is a traced argument
+    pass_memo = getattr(tracer, "_render_passes", None)
+    if pass_memo is None:
+        pass_memo = {}
+        try:
+            tracer._render_passes = pass_memo
+        except AttributeError:   # jit wrappers without settable attrs
+            pass
+    pass_key = (k, w, h, use_sobol,
+                _static_digest([np.asarray(cam.position),
+                                np.asarray(cam.front),
+                                np.asarray(cam.right), np.asarray(cam.up)]))
+    one_pass = pass_memo.get(pass_key)
+    if one_pass is None:
+        if use_sobol:
+            pid_k = jnp.tile(pid, k)
 
-        @jax.jit
-        def one_pass(scene, s_base, seed_val):
-            si = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32), npix)
-            u = krng.uniform2(cam_keys, "sobol", si)
-            px = jnp.tile(px0, k) + u[:, 0]
-            py = jnp.tile(py0, k) + u[:, 1]
-            o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
-            out = tracer(scene, o, d, seed_val, si, pid_k)
-            return out.reshape(k, npix, 3).sum(axis=0)
-    else:
-        @jax.jit
-        def one_pass(scene, kk, seed_val):
-            u = jax.random.uniform(kk, (k * npix, 2))
-            px = jnp.tile(px0, k) + u[:, 0]
-            py = jnp.tile(py0, k) + u[:, 1]
-            o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
-            out = tracer(scene, o, d, seed_val)
-            return out.reshape(k, npix, 3).sum(axis=0)
+            @jax.jit
+            def one_pass(scene, cam_keys, s_base, seed_val):
+                si = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32),
+                                         npix)
+                u = krng.uniform2(cam_keys, "sobol", si)
+                px = jnp.tile(px0, k) + u[:, 0]
+                py = jnp.tile(py0, k) + u[:, 1]
+                o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+                out = tracer(scene, o, d, seed_val, si, pid_k)
+                return out.reshape(k, npix, 3).sum(axis=0)
+        else:
+            @jax.jit
+            def one_pass(scene, kk, seed_val):
+                u = jax.random.uniform(kk, (k * npix, 2))
+                px = jnp.tile(px0, k) + u[:, 0]
+                py = jnp.tile(py0, k) + u[:, 1]
+                o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+                out = tracer(scene, o, d, seed_val)
+                return out.reshape(k, npix, 3).sum(axis=0)
+
+        pass_memo[pass_key] = one_pass
+
+    if use_sobol:
+        # camera-jitter draw site: per-pixel keys, sample-independent
+        cam_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(
+            jnp.tile(pid, k))
 
     accum = jnp.zeros((npix, 3), jnp.float32)
     s0 = 0
     p = 0
     while s0 < spp:
         if use_sobol:
-            accum = accum + one_pass(scene, jnp.int32(p * k),
+            accum = accum + one_pass(scene, cam_keys, jnp.int32(p * k),
                                      jnp.int32(seed))
         else:
             accum = accum + one_pass(scene, jax.random.fold_in(key, p),
