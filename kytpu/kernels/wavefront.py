@@ -57,7 +57,11 @@ LANE = 128
 class KernelConfig:
     max_depth: int = 5
     rr_start: int = 3
-    rows: int = 64          # lanes per tile = rows * 128
+    # lanes per tile = rows * 128. 16 measured best on v5e for BOTH
+    # directions (fwd 166/162/125 Mrays/s at 16/32/64 on veach; fwd+bwd
+    # 151/150 at 16/32 — benchmarks/kernel_ab.py): smaller tiles keep the
+    # whole bounce-loop working set + adjoint accumulators in VMEM
+    rows: int = 16
     nee: str = "all"        # "all" lights per vertex | "single" uniform pick
     # "random": on-core PRNG (hash fallback under interpret).
     # "sobol": in-kernel hash-based Owen-scrambled (0,2)-sequence (Burley,
@@ -225,25 +229,40 @@ def extract_static(scene):
     # self-occludes ~70% of cone-sampled sphere NEE, and every engine here
     # replicates that for pixel parity (measured: "fixing" it brightens
     # veach by ~50%).
-    # checker-texture bindings (in-kernel support is planar-only; the
-    # tracer factories below reject anything else before we get here)
+    # texture bindings (in-kernel support is planar-only; the tracer
+    # factories below reject anything else before we get here). Checker
+    # rows carry parity + SMEM color-table indices; image rows carry the
+    # (power-of-two) atlas tile geometry for the in-kernel select-chain
+    # bilinear fetch.
     textures = []
     n_textures = 0
+    n_texels = 0
     if getattr(scene, "has_textures", False):
+        from kytpu.scene import texture as ktex_mod
         n_textures = scene.textures.n_textures
         tex_id = np.asarray(scene.tex_id)
         tscale = np.asarray(scene.textures.scale)
+        tkind = np.asarray(scene.textures.kind)
+        timg_idx = np.asarray(scene.textures.image_index)
+        ti_n, th, tw = scene.textures.image.shape[:3]
+        n_texels = int(ti_n * th * tw)
         for m in range(len(tex_id)):
             ti = int(tex_id[m])
             if ti >= 0:
-                textures.append(dict(
+                rec = dict(
                     row=m, tex=ti,
-                    scale=(float(tscale[ti, 0]), float(tscale[ti, 1]))))
+                    kind=("image" if int(tkind[ti]) == ktex_mod.IMAGE
+                          else "checker"),
+                    scale=(float(tscale[ti, 0]), float(tscale[ti, 1])))
+                if rec["kind"] == "image":
+                    rec.update(img=int(timg_idx[ti]), tw=int(tw),
+                               th=int(th))
+                textures.append(rec)
 
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
                 has_env=scene.has_env, textures=textures,
-                n_textures=n_textures)
+                n_textures=n_textures, n_texels=n_texels)
 
 
 def _cv3(v):  # constant V3 from a python float triple (broadcasts with planes)
@@ -643,14 +662,87 @@ def _checker_color(rec, even, texa_ref, texb_ref) -> V3:
               jnp.where(even, texa_ref[t, 2], texb_ref[t, 2]))
 
 
-def _apply_checker(static, texa_ref, texb_ref, sid, hp: V3, diffuse: V3,
-                   parities=None) -> V3:
-    """Replace the diffuse color on checker-textured surface rows, masked
-    by sid. `parities`: precomputed even-masks (one per textured row)."""
+def _image_uv_taps(static, rec, hp: V3):
+    """Bilinear tap indices + weights for one image-textured row, exactly
+    mirroring scene/texture._bilinear (texel-center convention, WRAP).
+    Power-of-two dims make the wrap a mask (two's-complement & handles the
+    x0 = -1 edge). Returns (4 int32 index planes into the flattened atlas,
+    4 f32 weight planes)."""
+    s = static["planar"][rec["row"]]
+    rel = hp - _cv3(s["uv_anchor"])
+    u = rel.dot(_cv3(s["uv_f1"]))
+    v = rel.dot(_cv3(s["uv_f2"]))
+    if s.get("uv_disk"):
+        u = u + np.float32(0.5)
+        v = v + np.float32(0.5)
+    su = u * np.float32(rec["scale"][0])
+    sv = v * np.float32(rec["scale"][1])
+    tw, th = rec["tw"], rec["th"]
+    x = (su - jnp.floor(su)) * np.float32(tw) - np.float32(0.5)
+    y = (sv - jnp.floor(sv)) * np.float32(th) - np.float32(0.5)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi0 = x0.astype(jnp.int32) & np.int32(tw - 1)
+    yi0 = y0.astype(jnp.int32) & np.int32(th - 1)
+    xi1 = (xi0 + 1) & np.int32(tw - 1)
+    yi1 = (yi0 + 1) & np.int32(th - 1)
+    base = np.int32(rec["img"] * th * tw)
+    idx = (base + yi0 * np.int32(tw) + xi0,
+           base + yi0 * np.int32(tw) + xi1,
+           base + yi1 * np.int32(tw) + xi0,
+           base + yi1 * np.int32(tw) + xi1)
+    wts = ((1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
+           (1.0 - fx) * fy, fx * fy)
+    return idx, wts
+
+
+def _image_texel_weights(rec, idx, wts):
+    """Per-texel bilinear weight planes for this row's image: w[t] =
+    sum over the 4 taps of (tap index == t) * tap weight. The O(T) select
+    chain is the TPU-native 'gather' for small atlases (dynamic vector
+    gathers don't exist on the VPU); rejected above ~64 texels/image."""
+    base = rec["img"] * rec["th"] * rec["tw"]
+    out = []
+    for t in range(base, base + rec["th"] * rec["tw"]):
+        w = jnp.where(idx[0] == t, wts[0], 0.0)
+        w = w + jnp.where(idx[1] == t, wts[1], 0.0)
+        w = w + jnp.where(idx[2] == t, wts[2], 0.0)
+        w = w + jnp.where(idx[3] == t, wts[3], 0.0)
+        out.append(w)
+    return out
+
+
+def _image_color(rec, texel_w, timg_ref) -> V3:
+    base = rec["img"] * rec["th"] * rec["tw"]
+    cx = cy = cz = np.float32(0.0)
+    for k, w in enumerate(texel_w):
+        t = base + k
+        cx = cx + timg_ref[t, 0] * w
+        cy = cy + timg_ref[t, 1] * w
+        cz = cz + timg_ref[t, 2] * w
+    return V3(cx, cy, cz)
+
+
+def _apply_textures(static, texa_ref, texb_ref, timg_ref, sid, hp: V3,
+                    diffuse: V3, parities=None, texel_ws=None) -> V3:
+    """Replace the diffuse color on textured surface rows, masked by sid.
+    `parities`: precomputed checker even-masks; `texel_ws`: precomputed
+    per-texel bilinear weights for image rows (both lists aligned with
+    static["textures"]; None entries recomputed here)."""
     for i, rec in enumerate(static["textures"]):
-        even = parities[i] if parities is not None \
-            else _checker_parity(static, rec, hp)
-        col = _checker_color(rec, even, texa_ref, texb_ref)
+        if rec.get("kind") == "image":
+            tws = texel_ws[i] if texel_ws is not None else None
+            if tws is None:
+                tws = _image_texel_weights(rec,
+                                           *_image_uv_taps(static, rec, hp))
+            col = _image_color(rec, tws, timg_ref)
+        else:
+            even = parities[i] if parities is not None \
+                and parities[i] is not None \
+                else _checker_parity(static, rec, hp)
+            col = _checker_color(rec, even, texa_ref, texb_ref)
         diffuse = col.where(sid == rec["row"], diffuse)
     return diffuse
 
@@ -1176,6 +1268,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     L = len(lights)
     tex_recs = static.get("textures", [])
     n_tex = static.get("n_textures", 0) if tex_recs else 0
+    img_recs = [r for r in tex_recs if r.get("kind") == "image"]
+    n_texels = static.get("n_texels", 0) if img_recs else 0
+    # image-texture gradients are jnp-engine-only for now (the per-texel
+    # adjoint accumulators don't fit the replay/residual layouts yet)
+    assert not (img_recs and (grad or residual)), \
+        "image-textured scenes have no kernel backward"
     world_radius = static["world_radius"]
     lobes = mats["lobes"]
     eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
@@ -1218,6 +1316,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         exponent_ref = rest.pop(0) if use_texp else None
         texa_ref = rest.pop(0) if tex_recs else None
         texb_ref = rest.pop(0) if tex_recs else None
+        timg_ref = rest.pop(0) if img_recs else None
         (light_emit_ref, env_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[:8]
         rest = rest[8:]
@@ -1370,10 +1469,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 else np.float32(1.0)
             diffuse = _select_table3(sid, diffuse_ref, rows_d)
             if tex_recs:
-                tex_par = [_checker_parity(static, rec, hp)
+                tex_par = [None if rec.get("kind") == "image"
+                           else _checker_parity(static, rec, hp)
                            for rec in tex_recs]
-                diffuse = _apply_checker(static, texa_ref, texb_ref, sid,
-                                         hp, diffuse, tex_par)
+                tex_ws = [_image_texel_weights(
+                              rec, *_image_uv_taps(static, rec, hp))
+                          if rec.get("kind") == "image" else None
+                          for rec in tex_recs]
+                diffuse = _apply_textures(static, texa_ref, texb_ref,
+                                          timg_ref, sid, hp, diffuse,
+                                          tex_par, tex_ws)
             specular = _select_table3(sid, specular_ref, rows_s)
             mk = jnp.zeros(shp, jnp.int32)
             for m in range(M):
@@ -2096,10 +2201,16 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
 # ---------------------------------------------------------------------------
 
 
+_KERNEL_MAX_TEXELS = 64
+
+
 def _kernel_texture_support(scene):
     """None if the megakernel can evaluate this scene's textures in-kernel
-    (checker on planar surfaces), else a reason string. Image textures and
-    sphere UVs need the jnp engines."""
+    (checker, or small power-of-two image atlases, on planar surfaces),
+    else a reason string. Sphere UVs and large/odd-sized images need the
+    jnp engines (the in-kernel image fetch is an O(texels) select chain —
+    the TPU-native 'gather' for small atlases — so it is capped at
+    {_KERNEL_MAX_TEXELS} texels per image)."""
     if not getattr(scene, "has_textures", False):
         return None
     from kytpu.scene import texture as ktex_mod
@@ -2110,14 +2221,20 @@ def _kernel_texture_support(scene):
         ti = int(tex_id[m])
         if ti < 0:
             continue
-        if int(kinds[ti]) != ktex_mod.CHECKER:
-            return ("the megakernel evaluates only checker textures "
-                    "in-kernel — render image textures with the jnp "
-                    "engines")
+        if int(kinds[ti]) == ktex_mod.IMAGE:
+            th, tw = scene.textures.image.shape[1:3]
+            if th * tw > _KERNEL_MAX_TEXELS:
+                return (f"the megakernel's in-kernel image fetch is a "
+                        f"select chain capped at {_KERNEL_MAX_TEXELS} "
+                        f"texels ({th}x{tw} given) — render larger images "
+                        f"with the jnp engines")
+            if (th & (th - 1)) or (tw & (tw - 1)):
+                return ("the megakernel wraps image uvs with power-of-two "
+                        "masks — non-power-of-two images need the jnp "
+                        "engines")
         if m >= n_planar:
-            return ("the megakernel evaluates checker textures on planar "
-                    "surfaces only — sphere UV textures need the jnp "
-                    "engines")
+            return ("the megakernel evaluates textures on planar surfaces "
+                    "only — sphere UV textures need the jnp engines")
     return None
 
 
@@ -2190,6 +2307,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     n_lights = int(scene.n_lights)
     has_env = bool(scene.has_env)
     has_tex = bool(static["textures"])
+    has_img = any(r.get("kind") == "image" for r in static["textures"])
+    n_texels = static.get("n_texels", 0)
     use_sobol = cfg.sampler == "sobol"
     use_texp = cfg.trainable_exponent
 
@@ -2227,6 +2346,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
         exp_in = [scene.mat_exponent] if use_texp else []
         tex_in = ([scene.textures.color_a, scene.textures.color_b]
                   if has_tex else [])
+        if has_img:
+            tex_in.append(scene.textures.image.reshape(-1, 3))
         t_rows = scene.textures.n_textures if has_tex else 0
         out = pl.pallas_call(
             kernel,
@@ -2239,7 +2360,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
             ] + ([pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
                                memory_space=pltpu.SMEM)]
                  if use_texp else [])
-            + ([smem((t_rows, 3)), smem((t_rows, 3))] if has_tex else []) + [
+            + ([smem((t_rows, 3)), smem((t_rows, 3))] if has_tex else [])
+            + ([smem((n_texels, 3))] if has_img else []) + [
                 smem((max(n_lights, 1), 3)),                # light emit
                 smem((1, 3)),                               # env radiance
                 blk, blk, blk, blk, blk, blk,
@@ -2318,6 +2440,15 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     tex_err = _kernel_texture_support(scene)
     if tex_err:
         raise NotImplementedError(tex_err)
+    if getattr(scene, "has_textures", False):
+        from kytpu.scene import texture as ktex_mod
+        if any(int(k) == ktex_mod.IMAGE
+               for k in np.asarray(scene.textures.kind)[
+                   np.asarray(scene.tex_id)[np.asarray(scene.tex_id) >= 0]]):
+            raise NotImplementedError(
+                "image-textured scenes render forward in-kernel but have "
+                "no kernel backward yet — differentiate with the jnp "
+                "engines (engine='jnp')")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)

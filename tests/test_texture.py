@@ -329,12 +329,43 @@ def test_pallas_train_step_recovers_checker_colors():
     assert losses[-1] < losses[0], losses
 
 
+def test_megakernel_image_matches_fast():
+    """The megakernel evaluates small power-of-two image textures
+    in-kernel (baked uv dual basis + SMEM texel table, per-texel select
+    chain); statistical agreement with the jnp fast engine's bilinear."""
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.integrator.fast import FastConfig
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.1, 0.9, (8, 8, 3)).astype(np.float32)
+    scene = builders.cornell_box(width=48, height=48, back_image=img)
+    img_k = np.asarray(kwf.render_pallas(
+        scene, spp=32, seed=3, cfg=kwf.KernelConfig(max_depth=3, rows=8),
+        interpret=True))
+    img_f = np.asarray(render(scene, spp=32, seed=5,
+                              cfg=FastConfig(max_depth=3), mode="fast"))
+
+    def down(x, f=8):
+        h, w, _ = x.shape
+        return x.reshape(h // f, f, w // f, f, 3).mean((1, 3))
+
+    err = np.abs(down(img_k) - down(img_f)).mean()
+    assert err < 0.03, err
+
+
 def test_megakernel_rejects_unsupported_textures():
     from kytpu.kernels import wavefront as kwf
-    # image textures: jnp engines only (fwd and bwd)
-    img = np.full((4, 4, 3), 0.5, np.float32)
-    sc_img = builders.cornell_box(width=16, height=16, back_image=img)
+    # oversized image atlases: jnp engines only (select-chain cap)
+    img_big = np.full((16, 16, 3), 0.5, np.float32)
+    sc_big = builders.cornell_box(width=16, height=16, back_image=img_big)
     with pytest.raises(NotImplementedError):
-        kwf.make_pallas_tracer(sc_img, interpret=True)
+        kwf.make_pallas_tracer(sc_big, interpret=True)
+    # non-power-of-two dims: wrap needs pow2 masks
+    img_odd = np.full((6, 6, 3), 0.5, np.float32)
+    sc_odd = builders.cornell_box(width=16, height=16, back_image=img_odd)
+    with pytest.raises(NotImplementedError):
+        kwf.make_pallas_tracer(sc_odd, interpret=True)
+    # supported image scenes still have no kernel backward
+    img_ok = np.full((4, 4, 3), 0.5, np.float32)
+    sc_img = builders.cornell_box(width=16, height=16, back_image=img_ok)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_diff_tracer(sc_img, interpret=True)
