@@ -111,11 +111,6 @@ def make_train_step(scene, target, spp: int = 4,
     if engine == "pallas":
         if mesh is not None:
             raise NotImplementedError("pallas train step is single-device")
-        if "tex_image" in names:
-            raise NotImplementedError(
-                "image-texture recovery needs the jnp engines "
-                "(engine='jnp'); the kernel differentiates checker colors "
-                "(tex_color_a/tex_color_b) only")
         from kytpu.kernels import wavefront as kwf
         from kytpu.scene import scene as kscene_mod
         train_exp = "mat_exponent" in names
@@ -134,6 +129,14 @@ def make_train_step(scene, target, spp: int = 4,
         env0 = (scene.env_radiance_ if scene.has_env
                 else jnp.zeros(3, jnp.float32))
         has_tex = bool(scene.has_textures)
+        has_img = False
+        if has_tex:
+            import numpy as np
+            from kytpu.scene import texture as ktex_mod
+            tid = np.asarray(scene.tex_id)
+            kinds = np.asarray(scene.textures.kind)
+            has_img = any(int(kinds[int(t)]) == ktex_mod.IMAGE
+                          for t in tid if int(t) >= 0)
 
         def loss_of(params, key):
             u = jax.random.uniform(key, (spp * npix, 2))
@@ -145,6 +148,9 @@ def make_train_step(scene, target, spp: int = 4,
             if has_tex:
                 tex_arg = (params.get("tex_color_a", scene.textures.color_a),
                            params.get("tex_color_b", scene.textures.color_b))
+                if has_img:
+                    tex_arg = tex_arg + (
+                        params.get("tex_image", scene.textures.image),)
             out = tracer(params.get("mat_diffuse", scene.mat_diffuse),
                          params.get("mat_specular", scene.mat_specular),
                          params.get("emission", scene.emission),

@@ -662,12 +662,11 @@ def _checker_color(rec, even, texa_ref, texb_ref) -> V3:
               jnp.where(even, texa_ref[t, 2], texb_ref[t, 2]))
 
 
-def _image_uv_taps(static, rec, hp: V3):
-    """Bilinear tap indices + weights for one image-textured row, exactly
-    mirroring scene/texture._bilinear (texel-center convention, WRAP).
-    Power-of-two dims make the wrap a mask (two's-complement & handles the
-    x0 = -1 edge). Returns (4 int32 index planes into the flattened atlas,
-    4 f32 weight planes)."""
+def _image_uv_xy(static, rec, hp: V3):
+    """Continuous texel coordinates (x, y) of hit hp on one image-textured
+    row (texel-center convention, wrapped into [-0.5, dim-0.5)) — the two
+    planes the residual backward caches to rebuild the bilinear taps
+    without re-intersecting (see _residual_layout)."""
     s = static["planar"][rec["row"]]
     rel = hp - _cv3(s["uv_anchor"])
     u = rel.dot(_cv3(s["uv_f1"]))
@@ -680,6 +679,16 @@ def _image_uv_taps(static, rec, hp: V3):
     tw, th = rec["tw"], rec["th"]
     x = (su - jnp.floor(su)) * np.float32(tw) - np.float32(0.5)
     y = (sv - jnp.floor(sv)) * np.float32(th) - np.float32(0.5)
+    return x, y
+
+
+def _image_taps_from_xy(rec, x, y):
+    """Bilinear tap indices + weights from continuous texel coords, exactly
+    mirroring scene/texture._bilinear (texel-center convention, WRAP).
+    Power-of-two dims make the wrap a mask (two's-complement & handles the
+    x0 = -1 edge). Returns (4 int32 index planes into the flattened atlas,
+    4 f32 weight planes)."""
+    tw, th = rec["tw"], rec["th"]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -696,6 +705,11 @@ def _image_uv_taps(static, rec, hp: V3):
     wts = ((1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
            (1.0 - fx) * fy, fx * fy)
     return idx, wts
+
+
+def _image_uv_taps(static, rec, hp: V3):
+    """Bilinear taps of hit hp on one image-textured row."""
+    return _image_taps_from_xy(rec, *_image_uv_xy(static, rec, hp))
 
 
 def _image_texel_weights(rec, idx, wts):
@@ -1222,8 +1236,16 @@ def _residual_layout(static, cfg: KernelConfig):
     cos_a), pre-masked to phong lanes — the exponent adjoint is then as
     bilinear in the cache as the color adjoints, and the backward never
     needs the exponent itself.
+
+    Image-textured scenes add two planes per shading bounce: "tx"/"ty",
+    the continuous texel coordinates of the hit on its image row (0
+    elsewhere) — the backward rebuilds the 4 bilinear taps + weights from
+    them (pure floor/mask/FMA), so the diffuse VALUE and the per-texel
+    adjoints never need re-intersection.
     """
     has_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
+    has_img = any(r.get("kind") == "image"
+                  for r in static.get("textures", []))
     n_b = 1 if (cfg.nee == "single" and len(static["lights"]) > 1) \
         else len(static["lights"])
     texp = cfg.trainable_exponent
@@ -1240,6 +1262,9 @@ def _residual_layout(static, cfg: KernelConfig):
             tags.append(("tu", b))
             if texp:
                 tags.append(("tuk", b))
+            if has_img:
+                tags.append(("tx", b))
+                tags.append(("ty", b))
     return {t: k for k, t in enumerate(tags)}, len(tags)
 
 
@@ -1270,10 +1295,6 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     n_tex = static.get("n_textures", 0) if tex_recs else 0
     img_recs = [r for r in tex_recs if r.get("kind") == "image"]
     n_texels = static.get("n_texels", 0) if img_recs else 0
-    # image-texture gradients are jnp-engine-only for now (the per-texel
-    # adjoint accumulators don't fit the replay/residual layouts yet)
-    assert not (img_recs and (grad or residual)), \
-        "image-textured scenes have no kernel backward"
     world_radius = static["world_radius"]
     lobes = mats["lobes"]
     eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
@@ -1330,6 +1351,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             dxp_ref = rest2.pop(0) if use_texp else None
             dta_ref = rest2.pop(0) if tex_recs else None
             dtb_ref = rest2.pop(0) if tex_recs else None
+            dti_ref = rest2.pop(0) if img_recs else None
         elif residual:
             (lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = rest
             res_planes = [None] * res_n
@@ -1369,6 +1391,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             if tex_recs:
                 acc_ta = [v3_zeros(o.x) for _ in range(n_tex)]
                 acc_tb = [v3_zeros(o.x) for _ in range(n_tex)]
+            if img_recs:
+                acc_ti = [v3_zeros(o.x) for _ in range(n_texels)]
 
             def row_add(acc, rows, sid, val: V3):
                 for m in rows:
@@ -1472,10 +1496,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 tex_par = [None if rec.get("kind") == "image"
                            else _checker_parity(static, rec, hp)
                            for rec in tex_recs]
-                tex_ws = [_image_texel_weights(
-                              rec, *_image_uv_taps(static, rec, hp))
+                tex_xy = [_image_uv_xy(static, rec, hp)
                           if rec.get("kind") == "image" else None
                           for rec in tex_recs]
+                tex_ws = [None if xy is None else _image_texel_weights(
+                              rec, *_image_taps_from_xy(rec, *xy))
+                          for rec, xy in zip(tex_recs, tex_xy)]
                 diffuse = _apply_textures(static, texa_ref, texb_ref,
                                           timg_ref, sid, hp, diffuse,
                                           tex_par, tex_ws)
@@ -1792,11 +1818,26 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if tex_recs:
                     tex_even = jnp.zeros(shp, jnp.int32)
                     for ti, rec in enumerate(tex_recs):
+                        if tex_par[ti] is None:   # image rec: xy planes below
+                            continue
                         onrow = sid == rec["row"]
                         tex_even = jnp.where(
                             onrow & tex_par[ti], np.int32(1), tex_even)
                     packed = packed + tex_even * np.int32(1024)
                 res_ints[bounce] = packed
+                if img_recs:
+                    # continuous texel coords of the hit on its image row
+                    # (the bilinear taps are a pure function of these)
+                    tx_pl = jnp.zeros(shp, jnp.float32)
+                    ty_pl = jnp.zeros(shp, jnp.float32)
+                    for ti, rec in enumerate(tex_recs):
+                        if tex_xy[ti] is None:
+                            continue
+                        onrow = sid == rec["row"]
+                        tx_pl = jnp.where(onrow, tex_xy[ti][0], tx_pl)
+                        ty_pl = jnp.where(onrow, tex_xy[ti][1], ty_pl)
+                    res_planes[res_ix[("tx", bounce)]] = tx_pl
+                    res_planes[res_ix[("ty", bounce)]] = ty_pl
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1852,18 +1893,30 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if tex_recs:
                     for ti, rec in enumerate(tex_recs):
                         onrow = sid == rec["row"]
-                        even = tex_par[ti]
-                        t = rec["tex"]
-                        sel_a = onrow & even
-                        sel_b = onrow & ~even
-                        acc_ta[t] = V3(
-                            acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
-                            acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
-                            acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
-                        acc_tb[t] = V3(
-                            acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
-                            acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
-                            acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
+                        if rec.get("kind") == "image":
+                            # bilinear is linear in the texels: route the
+                            # diffuse-value adjoint to each texel by its
+                            # (replayed) tap weight
+                            base = rec["img"] * rec["th"] * rec["tw"]
+                            for k, wk in enumerate(tex_ws[ti]):
+                                wk = jnp.where(onrow, wk, 0.0)
+                                t = base + k
+                                acc_ti[t] = V3(acc_ti[t].x + addc_diff.x * wk,
+                                               acc_ti[t].y + addc_diff.y * wk,
+                                               acc_ti[t].z + addc_diff.z * wk)
+                        else:
+                            even = tex_par[ti]
+                            t = rec["tex"]
+                            sel_a = onrow & even
+                            sel_b = onrow & ~even
+                            acc_ta[t] = V3(
+                                acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
+                                acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
+                                acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
+                            acc_tb[t] = V3(
+                                acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
+                                acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
+                                acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
                         addc_diff = V3(
                             jnp.where(onrow, 0.0, addc_diff.x),
                             jnp.where(onrow, 0.0, addc_diff.y),
@@ -1899,6 +1952,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             if tex_recs:
                 arr_ta = stack_acc(acc_ta)
                 arr_tb = stack_acc(acc_tb)
+            if img_recs:
+                arr_ti = stack_acc(acc_ti)
 
             @pl.when(pid == 0)
             def _():
@@ -1911,6 +1966,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if tex_recs:
                     dta_ref[:] = arr_ta
                     dtb_ref[:] = arr_tb
+                if img_recs:
+                    dti_ref[:] = arr_ti
 
             @pl.when(pid != 0)
             def _():
@@ -1921,6 +1978,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if tex_recs:
                     dta_ref[:] = dta_ref[:] + arr_ta
                     dtb_ref[:] = dtb_ref[:] + arr_tb
+                if img_recs:
+                    dti_ref[:] = dti_ref[:] + arr_ti
                 if use_texp:
                     dxp_ref[:] = dxp_ref[:] + arr_x
         else:
@@ -1966,6 +2025,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
     rows_x = [m for m in range(M) if mats["kind"][m] == kbsdf.MAT_PLASTIC]
     tex_recs = static.get("textures", [])
     n_tex = static.get("n_textures", 0) if tex_recs else 0
+    img_recs = [r for r in tex_recs if r.get("kind") == "image"]
+    n_texels = static.get("n_texels", 0) if img_recs else 0
     res_ix, _ = _residual_layout(static, cfg)
 
     def kernel(*refs):
@@ -1973,6 +2034,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         rest = list(refs[4:])
         texa_ref = rest.pop(0) if tex_recs else None
         texb_ref = rest.pop(0) if tex_recs else None
+        timg_ref = rest.pop(0) if img_recs else None
         (light_emit_ref, env_ref,
          gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
          resf_ref, resi_ref, dd_ref, ds_ref, de_ref, denv_ref) = rest[:14]
@@ -1980,6 +2042,7 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         dxp_ref = rest.pop(0) if use_texp else None
         dta_ref = rest.pop(0) if tex_recs else None
         dtb_ref = rest.pop(0) if tex_recs else None
+        dti_ref = rest.pop(0) if img_recs else None
         pid = pl.program_id(0)
         g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
         r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
@@ -1994,6 +2057,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         if tex_recs:
             acc_ta = [v3_zeros(g.x) for _ in range(n_tex)]
             acc_tb = [v3_zeros(g.x) for _ in range(n_tex)]
+        if img_recs:
+            acc_ti = [v3_zeros(g.x) for _ in range(n_texels)]
 
         def row_add(acc, rows, sid, val: V3):
             for m in rows:
@@ -2026,11 +2091,23 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             to_spec_t = (ib & np.int32(512)) != 0
             diff_sel = _select_table3(sid, diffuse_ref, rows_d)
             if tex_recs:
-                # the forward cached the checker parity (bit 10): the
+                # the forward cached the checker parity (bit 10) and, for
+                # image rows, the continuous texel coords ("tx"/"ty"): the
                 # diffuse VALUE on textured rows is the texture color
                 tex_even = (ib & np.int32(1024)) != 0
+                if img_recs:
+                    tx_pl = resf_ref[res_ix[("tx", bounce)]]
+                    ty_pl = resf_ref[res_ix[("ty", bounce)]]
+                tex_ws_b = {}
                 for rec in tex_recs:
-                    col = _checker_color(rec, tex_even, texa_ref, texb_ref)
+                    if rec.get("kind") == "image":
+                        ws = _image_texel_weights(
+                            rec, *_image_taps_from_xy(rec, tx_pl, ty_pl))
+                        tex_ws_b[rec["row"]] = ws
+                        col = _image_color(rec, ws, timg_ref)
+                    else:
+                        col = _checker_color(rec, tex_even, texa_ref,
+                                             texb_ref)
                     diff_sel = col.where(sid == rec["row"], diff_sel)
             spec_sel = _select_table3(sid, specular_ref, rows_s) \
                 if has_spec else v3_zeros(g.x)
@@ -2128,21 +2205,31 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                                + gb.y * r_next.y * spec_sel.y
                                + gb.z * r_next.z * spec_sel.z) * tuk
             if tex_recs:
-                # route textured rows' diffuse adjoints to the checker
-                # colors by the cached parity, zero the table share
+                # route textured rows' diffuse adjoints to the texture
+                # leaves (checker colors by cached parity; image texels by
+                # the rebuilt bilinear weights), zero the table share
                 for rec in tex_recs:
                     onrow = sid == rec["row"]
-                    t = rec["tex"]
-                    sel_a = onrow & tex_even
-                    sel_b = onrow & ~tex_even
-                    acc_ta[t] = V3(
-                        acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
-                        acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
-                        acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
-                    acc_tb[t] = V3(
-                        acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
-                        acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
-                        acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
+                    if rec.get("kind") == "image":
+                        base = rec["img"] * rec["th"] * rec["tw"]
+                        for k, wk in enumerate(tex_ws_b[rec["row"]]):
+                            wk = jnp.where(onrow, wk, 0.0)
+                            t = base + k
+                            acc_ti[t] = V3(acc_ti[t].x + addc_diff.x * wk,
+                                           acc_ti[t].y + addc_diff.y * wk,
+                                           acc_ti[t].z + addc_diff.z * wk)
+                    else:
+                        t = rec["tex"]
+                        sel_a = onrow & tex_even
+                        sel_b = onrow & ~tex_even
+                        acc_ta[t] = V3(
+                            acc_ta[t].x + jnp.where(sel_a, addc_diff.x, 0.0),
+                            acc_ta[t].y + jnp.where(sel_a, addc_diff.y, 0.0),
+                            acc_ta[t].z + jnp.where(sel_a, addc_diff.z, 0.0))
+                        acc_tb[t] = V3(
+                            acc_tb[t].x + jnp.where(sel_b, addc_diff.x, 0.0),
+                            acc_tb[t].y + jnp.where(sel_b, addc_diff.y, 0.0),
+                            acc_tb[t].z + jnp.where(sel_b, addc_diff.z, 0.0))
                     addc_diff = V3(jnp.where(onrow, 0.0, addc_diff.x),
                                    jnp.where(onrow, 0.0, addc_diff.y),
                                    jnp.where(onrow, 0.0, addc_diff.z))
@@ -2168,6 +2255,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
         if tex_recs:
             arr_ta = stack_acc(acc_ta)
             arr_tb = stack_acc(acc_tb)
+        if img_recs:
+            arr_ti = stack_acc(acc_ti)
 
         @pl.when(pid == 0)
         def _():
@@ -2180,6 +2269,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             if tex_recs:
                 dta_ref[:] = arr_ta
                 dtb_ref[:] = arr_tb
+            if img_recs:
+                dti_ref[:] = arr_ti
 
         @pl.when(pid != 0)
         def _():
@@ -2192,6 +2283,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             if tex_recs:
                 dta_ref[:] = dta_ref[:] + arr_ta
                 dtb_ref[:] = dtb_ref[:] + arr_tb
+            if img_recs:
+                dti_ref[:] = dti_ref[:] + arr_ti
 
     return kernel
 
@@ -2401,14 +2494,18 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     then zero). Ray-origin/direction cotangents are zero (geometry
     derivatives are out of scope, as in the jnp detached-sampling path).
 
-    Checker-textured scenes (planar checkers; see _kernel_texture_support)
-    gain two positional args after emission (or after exponent when
-    trainable_exponent): fn(..., texa, texb, env, o, d, seed), the (T, 3)
-    checker color tables, with exact (d_texa, d_texb) adjoints: the
-    diffuse-value adjoint at a textured vertex routes to color_a or
-    color_b by the hit's cell parity (recomputed in the replay backward,
-    cached as res_ints bit 10 in the residual backward), and the
-    diffuse-table share on those rows is identically zero.
+    Textured scenes (planar, in-kernel-supported; see
+    _kernel_texture_support) gain positional args after emission (or after
+    exponent when trainable_exponent): fn(..., texa, texb[, timg], env, o,
+    d, seed) — the (T, 3) checker color tables and, when image textures are
+    bound, the (ti_n, th, tw, 3) texel atlas — with exact adjoints. The
+    diffuse-value adjoint at a textured vertex routes to color_a/color_b by
+    the hit's cell parity (recomputed in the replay backward, cached as
+    res_ints bit 10 in the residual backward), or to the 4 bilinear-tap
+    texels by their weights (replayed, or rebuilt from the cached "tx"/"ty"
+    texel-coordinate planes — bilinear is linear in the texels so the
+    adjoint is exact); the diffuse-table share on textured rows is
+    identically zero.
 
     backward="residual" (production): the forward kernel additionally
     writes a compact per-bounce coefficient cache (~7 planes/bounce, see
@@ -2440,25 +2537,18 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     tex_err = _kernel_texture_support(scene)
     if tex_err:
         raise NotImplementedError(tex_err)
-    if getattr(scene, "has_textures", False):
-        from kytpu.scene import texture as ktex_mod
-        if any(int(k) == ktex_mod.IMAGE
-               for k in np.asarray(scene.textures.kind)[
-                   np.asarray(scene.tex_id)[np.asarray(scene.tex_id) >= 0]]):
-            raise NotImplementedError(
-                "image-textured scenes render forward in-kernel but have "
-                "no kernel backward yet — differentiate with the jnp "
-                "engines (engine='jnp')")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
     # closure defaults baked into the returned fn (beyond the static
-    # extraction): the exponent table and checker-color defaults, and the
+    # extraction): the exponent table and texture defaults, and the
     # light->surface-row adjoint routing
     _extra = (np.asarray(scene.mat_exponent),
               np.asarray(scene.textures.color_a)
               if getattr(scene, "has_textures", False) else 0,
               np.asarray(scene.textures.color_b)
+              if getattr(scene, "has_textures", False) else 0,
+              np.asarray(scene.textures.image)
               if getattr(scene, "has_textures", False) else 0,
               [int(v) for v in np.asarray(scene.lights.surface_ids)]
               if scene.n_lights else [],
@@ -2484,6 +2574,9 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     has_env = bool(scene.has_env)
     has_tex = bool(static["textures"])
     t_rows = static["n_textures"] if has_tex else 0
+    has_img = any(r.get("kind") == "image" for r in static["textures"])
+    n_texels = static["n_texels"] if has_img else 0
+    img_shape = tuple(scene.textures.image.shape) if has_img else (0, 3)
     light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
         if n_lights else []
     env_row = next((i for i, k in enumerate(scene.lights.kinds)
@@ -2526,10 +2619,10 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return emit
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, exponent, texa, texb, env, o, d,
-              seed, si=None, pix=None):
+    def trace(diffuse, specular, emission, exponent, texa, texb, timg, env,
+              o, d, seed, si=None, pix=None):
         return _fwd_impl(diffuse, specular, emission, exponent, texa, texb,
-                         env, o, d, seed, si, pix)
+                         timg, env, o, d, seed, si, pix)
 
     def _exp_args(exponent):
         """(pallas inputs, in_specs) for the exponent table."""
@@ -2538,16 +2631,22 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         return [exponent], [pl.BlockSpec((m_rows,), index_map=lambda i: (0,),
                                          memory_space=pltpu.SMEM)]
 
-    def _tex_args(texa, texb):
-        """(pallas inputs, in_specs) for the checker color tables."""
+    def _tex_args(texa, texb, timg):
+        """(pallas inputs, in_specs) for the texture tables (checker colors
+        + the flattened image atlas when bound)."""
         if not has_tex:
             return [], []
         smem_t = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
                                    memory_space=pltpu.SMEM)
-        return [texa, texb], [smem_t((t_rows, 3)), smem_t((t_rows, 3))]
+        inputs = [texa, texb]
+        specs = [smem_t((t_rows, 3)), smem_t((t_rows, 3))]
+        if has_img:
+            inputs.append(timg.reshape(-1, 3))
+            specs.append(smem_t((n_texels, 3)))
+        return inputs, specs
 
-    def _fwd_impl(diffuse, specular, emission, exponent, texa, texb, env,
-                  o, d, seed, si, pix):
+    def _fwd_impl(diffuse, specular, emission, exponent, texa, texb, timg,
+                  env, o, d, seed, si, pix):
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2556,7 +2655,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
         exp_in, exp_spec = _exp_args(exponent)
-        tex_in, tex_spec = _tex_args(texa, texb)
+        tex_in, tex_spec = _tex_args(texa, texb, timg)
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2584,14 +2683,14 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     def _reduce(a):
         return a.sum(axis=(1, 2)).reshape(m_rows, 3)
 
-    def _fwd(diffuse, specular, emission, exponent, texa, texb, env, o, d,
-             seed, si=None, pix=None):
+    def _fwd(diffuse, specular, emission, exponent, texa, texb, timg, env,
+             o, d, seed, si=None, pix=None):
         if backward == "replay":
             big_l = _fwd_impl(diffuse, specular, emission, exponent, texa,
-                              texb, env, o, d, seed, si, pix)
+                              texb, timg, env, o, d, seed, si, pix)
             return big_l, (diffuse, specular, emission, exponent, texa,
-                           texb, env, o, d, seed, si, pix, big_l, None,
-                           None)
+                           texb, timg, env, o, d, seed, si, pix, big_l,
+                           None, None)
         n = o.shape[0]
         npad, grid = _grid(n)
         blk, smem = _specs(grid)
@@ -2600,7 +2699,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
         exp_in, exp_spec = _exp_args(exponent)
-        tex_in, tex_spec = _tex_args(texa, texb)
+        tex_in, tex_spec = _tex_args(texa, texb, timg)
         n_bounce = cfg.max_depth + 1
 
         def res_blk(nplanes):
@@ -2626,11 +2725,11 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
           env.reshape(1, 3), ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in lplanes]
         big_l = jnp.stack([lx, ly, lz], axis=-1)
-        return big_l, (diffuse, specular, emission, None, texa, texb, env,
-                       o, d, seed, si, pix, big_l, resf, resi)
+        return big_l, (diffuse, specular, emission, None, texa, texb, timg,
+                       env, o, d, seed, si, pix, big_l, resf, resi)
 
     def _bwd(res, g):
-        (diffuse, specular, emission, exponent, texa, texb, env, o, d,
+        (diffuse, specular, emission, exponent, texa, texb, timg, env, o, d,
          seed, si, pix, big_l, resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid(n)
@@ -2641,16 +2740,18 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         light_emit = _light_emit_of(emission, env)
         dexp = None
-        dta = dtb = None
+        dta = dtb = dti = None
         acc_extra_specs = ([_acc_blk(m_rows)] if use_texp else []) \
             + ([_acc_blk(3 * t_rows), _acc_blk(3 * t_rows)]
-               if has_tex else [])
+               if has_tex else []) \
+            + ([_acc_blk(3 * n_texels)] if has_img else [])
         acc_extra_shapes = ([_acc_shape(m_rows)] if use_texp else []) \
             + ([_acc_shape(3 * t_rows), _acc_shape(3 * t_rows)]
-               if has_tex else [])
+               if has_tex else []) \
+            + ([_acc_shape(3 * n_texels)] if has_img else [])
 
         def _unpack(outs):
-            nonlocal dexp, dta, dtb
+            nonlocal dexp, dta, dtb, dti
             outs = list(outs)
             dd, ds, de, denv = outs[:4]
             outs = outs[4:]
@@ -2659,6 +2760,8 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             if has_tex:
                 dta = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
                 dtb = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
+            if has_img:
+                dti = outs.pop(0).sum(axis=(1, 2)).reshape(img_shape)
             return dd, ds, de, denv
 
         if backward == "residual":
@@ -2667,7 +2770,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
 
-            tex_in, tex_spec = _tex_args(texa, texb)
+            tex_in, tex_spec = _tex_args(texa, texb, timg)
             outs = pl.pallas_call(
                 bwd_res_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2692,7 +2795,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             dx, dy, dz = _planes(d, n, npad, rows)
             extra = _iplanes(si, pix, n, npad, rows)
             exp_in, exp_spec = _exp_args(exponent)
-            tex_in, tex_spec = _tex_args(texa, texb)
+            tex_in, tex_spec = _tex_args(texa, texb, timg)
             outs = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2720,40 +2823,37 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         if dta is None:
             dta = jnp.zeros((t_rows, 3), jnp.float32)
             dtb = jnp.zeros((t_rows, 3), jnp.float32)
-        return (_reduce(dd), _reduce(ds), _reduce(de), dexp, dta, dtb,
+        if dti is None:
+            dti = jnp.zeros(img_shape, jnp.float32)
+        return (_reduce(dd), _reduce(ds), _reduce(de), dexp, dta, dtb, dti,
                 denv.sum(axis=(1, 2)).reshape(3),
                 jnp.zeros_like(o), jnp.zeros_like(d), None, None, None)
 
     trace.defvjp(_fwd, _bwd)
     trace_jit = jax.jit(trace)
     # defaults for non-trainable slots (cotangents are discarded): the
-    # exponent table, and the scene's checker color tables
+    # exponent table and the scene's texture tables. Public positional
+    # order: diffuse, specular, emission, [exponent if trainable_exponent],
+    # [texa, texb if textured], [timg (ti_n, th, tw, 3) if image-textured],
+    # env, o, d, seed, [si, pix if sobol].
     exp0 = scene.mat_exponent
     tex_a0 = scene.textures.color_a if has_tex \
         else jnp.zeros((0, 3), jnp.float32)
     tex_b0 = scene.textures.color_b if has_tex \
         else jnp.zeros((0, 3), jnp.float32)
+    timg0 = scene.textures.image if has_img \
+        else jnp.zeros((0, 3), jnp.float32)
 
-    if use_texp and has_tex:
-        def public(diffuse, specular, emission, exponent, texa, texb, env,
-                   o, d, seed, si=None, pix=None):
-            return trace_jit(diffuse, specular, emission, exponent, texa,
-                             texb, env, o, d, seed, si, pix)
-    elif use_texp:
-        def public(diffuse, specular, emission, exponent, env, o, d, seed,
-                   si=None, pix=None):
-            return trace_jit(diffuse, specular, emission, exponent, tex_a0,
-                             tex_b0, env, o, d, seed, si, pix)
-    elif has_tex:
-        def public(diffuse, specular, emission, texa, texb, env, o, d,
-                   seed, si=None, pix=None):
-            return trace_jit(diffuse, specular, emission, exp0, texa, texb,
-                             env, o, d, seed, si, pix)
-    else:
-        def public(diffuse, specular, emission, env, o, d, seed, si=None,
-                   pix=None):
-            return trace_jit(diffuse, specular, emission, exp0, tex_a0,
-                             tex_b0, env, o, d, seed, si, pix)
+    def public(diffuse, specular, emission, *rest):
+        rest = list(rest)
+        exponent = rest.pop(0) if use_texp else exp0
+        texa = rest.pop(0) if has_tex else tex_a0
+        texb = rest.pop(0) if has_tex else tex_b0
+        timg = rest.pop(0) if has_img else timg0
+        env, o, d, seed = rest[:4]
+        si, pix = (rest[4], rest[5]) if len(rest) > 4 else (None, None)
+        return trace_jit(diffuse, specular, emission, exponent, texa, texb,
+                         timg, env, o, d, seed, si, pix)
 
     _TRACER_MEMO[memo_key] = public
     return public

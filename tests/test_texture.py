@@ -359,13 +359,96 @@ def test_megakernel_rejects_unsupported_textures():
     sc_big = builders.cornell_box(width=16, height=16, back_image=img_big)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_tracer(sc_big, interpret=True)
+    with pytest.raises(NotImplementedError):
+        kwf.make_pallas_diff_tracer(sc_big, interpret=True)
     # non-power-of-two dims: wrap needs pow2 masks
     img_odd = np.full((6, 6, 3), 0.5, np.float32)
     sc_odd = builders.cornell_box(width=16, height=16, back_image=img_odd)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_tracer(sc_odd, interpret=True)
-    # supported image scenes still have no kernel backward
-    img_ok = np.full((4, 4, 3), 0.5, np.float32)
-    sc_img = builders.cornell_box(width=16, height=16, back_image=img_ok)
-    with pytest.raises(NotImplementedError):
-        kwf.make_pallas_diff_tracer(sc_img, interpret=True)
+
+
+@pytest.mark.parametrize("backward", ["replay", "residual"])
+def test_megakernel_image_gradients_match_fd(backward):
+    """Per-texel image-atlas adjoints through the megakernel, both
+    backwards: AD == central FD of the SAME deterministic kernel forward.
+    The diffuse-value adjoint at an image-textured vertex routes to the 4
+    bilinear-tap texels by their weights (replayed in the replay backward;
+    rebuilt from the cached tx/ty coordinate planes in the residual
+    backward), and the diffuse-table share on the image row is zero."""
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.scene import scene as kscene
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.2, 0.8, (4, 4, 3)).astype(np.float32)
+    scene = builders.cornell_box(width=8, height=8, back_image=img)
+    cfg = kwf.KernelConfig(max_depth=3, rows=8)
+    tracer = kwf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                         backward=backward)
+    n = 64
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    env0 = jnp.zeros(3, jnp.float32)
+    texa, texb = scene.textures.color_a, scene.textures.color_b
+    timg0 = scene.textures.image
+
+    def loss(timg):
+        out = tracer(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                     texa, texb, timg, env0, o, d, seed)
+        return jnp.mean(out)
+
+    g = np.asarray(jax.grad(loss)(timg0))
+    assert g.shape == timg0.shape
+    gsum = float(g.sum())
+    assert np.isfinite(g).all() and gsum > 0
+    # bilinear is linear in the texels: all-ones directional FD == grad sum
+    eps = 1e-2
+    fd = (float(loss(timg0 + eps)) - float(loss(timg0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(fd, gsum, rtol=5e-3, atol=1e-6)
+    # single-texel FD at the three strongest texels
+    for flat in np.argsort(-g.reshape(-1))[:3]:
+        idx = np.unravel_index(int(flat), g.shape)
+        fd = (float(loss(timg0.at[idx].add(eps)))
+              - float(loss(timg0.at[idx].add(-eps)))) / (2 * eps)
+        ad = float(g[idx])
+        assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (idx, ad, fd)
+
+    # the image row's diffuse-table gradient must be zero (value unused)
+    def loss_d(diffuse):
+        out = tracer(diffuse, scene.mat_specular, scene.emission,
+                     texa, texb, timg0, env0, o, d, seed)
+        return jnp.mean(out)
+
+    gd = np.asarray(jax.grad(loss_d)(scene.mat_diffuse))
+    img_row = int(np.argmax(np.asarray(scene.tex_id) >= 0))
+    np.testing.assert_allclose(gd[img_row], 0.0, atol=1e-8)
+
+
+def test_pallas_train_step_recovers_image_texels():
+    """make_train_step(engine='pallas', names=('tex_image',)) routes
+    per-texel gradients through the kernel backward and reduces the loss
+    toward the painted texture (interpret mode)."""
+    from kytpu.diff import get_params, set_params
+    from kytpu.diff.inverse import make_train_step, render_once
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0.2, 0.8, (4, 4, 3)).astype(np.float32)
+    scene = builders.cornell_box(width=8, height=8, back_image=img)
+    cfg = PathConfig(max_depth=2)
+    key = jax.random.key(13)
+    target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=cfg))
+    names = ("tex_image",)
+    true = get_params(scene, names)
+    wrong = set_params(scene, {n: jnp.full_like(v, 0.5)
+                               for n, v in true.items()})
+    step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
+                                        engine="pallas", names=names)
+    losses = []
+    for i in range(4):
+        params, opt, loss = step(params, opt, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
