@@ -229,6 +229,7 @@ def extract_static(scene):
     # self-occludes ~70% of cone-sampled sphere NEE, and every engine here
     # replicates that for pixel parity (measured: "fixing" it brightens
     # veach by ~50%).
+    occl_skip = _occl_skip_rows(planar, spheres, mats, lights)
     # texture bindings (in-kernel support is planar-only; the tracer
     # factories below reject anything else before we get here). Checker
     # rows carry parity + SMEM color-table indices; image rows carry the
@@ -262,7 +263,97 @@ def extract_static(scene):
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
                 has_env=scene.has_env, textures=textures,
-                n_textures=n_textures, n_texels=n_texels)
+                n_textures=n_textures, n_texels=n_texels,
+                occl_skip=occl_skip)
+
+
+def _occl_skip_rows(planar, spheres, mats, lights):
+    """Per-light sets of PLANAR surface rows statically proven unable to
+    occlude any of that light's NEE shadow rays — pruned from the compiled
+    occlusion sweeps (the scene-specialization counterpart of the baked
+    geometry; big for box scenes whose walls are one-sided boundaries).
+
+    Surface s (plane n, offset c) is skippable for light i iff, for one
+    orientation sigma, (a) every sample point of light i lies strictly on
+    the sigma side (>= 1e-3 — both segment endpoints on one side of a
+    plane means no crossing), and (b) every scene surface — the shadow-ray
+    ORIGINS, which are shading points offset by +-RAY_OFFSET along their
+    own surface normal (ky.cpp:614) — stays on the sigma side even after
+    the worst-case offset excursion RAY_OFFSET * |n . n_host| toward the
+    plane. A host surface whose normal is parallel to the plane (a floor
+    vertex touching a wall plane) has zero excursion, so box corners don't
+    defeat the proof. Delta-position (point) lights use their position;
+    direction/environment lights sample at 2*world_radius in arbitrary
+    directions, so nothing is skippable for them. A light's own emitting
+    surface is never skipped (the self-occlusion quirk above must keep
+    firing)."""
+    n_pl = len(planar)
+    skips = [set() for _ in lights]
+    if not lights:
+        return skips
+
+    def _poly_pts(s):
+        k = 3 if s["kind"] == kshapes.TRI else 4
+        return [np.asarray(s[f"p{j}"], np.float64) for j in range(k)]
+
+    for row, s in enumerate(planar):
+        n = np.asarray(s["n"], np.float64)
+        nl = np.linalg.norm(n)
+        if nl < 1e-12:
+            continue
+        n = n / nl
+        c = float(np.dot(n, np.asarray(s["p0"], np.float64)))
+
+        # signed-distance range of every scene surface, minus its
+        # worst-case shading-origin excursion toward this plane
+        lo = hi = 0.0   # row's own surface: coplanar, excursion-free
+        for u_row, u in enumerate(planar):
+            if u_row == row:
+                continue
+            nu = np.asarray(u["n"], np.float64)
+            nu = nu / max(np.linalg.norm(nu), 1e-30)
+            exc = km.RAY_OFFSET * abs(float(np.dot(n, nu)))
+            if u["kind"] == kshapes.DISK:
+                d0 = float(np.dot(n, np.asarray(u["p0"], np.float64))) - c
+                r_in = u["radius"] * float(
+                    np.sqrt(max(0.0, 1.0 - np.dot(n, nu) ** 2)))
+                dmin, dmax = d0 - r_in, d0 + r_in
+            else:
+                ds = [float(np.dot(n, p)) - c for p in _poly_pts(u)]
+                dmin, dmax = min(ds), max(ds)
+            lo = min(lo, dmin - exc)
+            hi = max(hi, dmax + exc)
+        for sp in spheres:
+            d0 = float(np.dot(n, np.asarray(sp["c"], np.float64))) - c
+            exc = km.RAY_OFFSET   # sphere normals: any direction
+            lo = min(lo, d0 - sp["r"] - exc)
+            hi = max(hi, d0 + sp["r"] + exc)
+
+        for i, lt in enumerate(lights):
+            kind = lt["kind"]
+            if kind in (klights.DIRECTION, klights.ENV):
+                continue
+            if mats["light_index"][row] == i:
+                continue   # the light's own surface stays in its sweep
+            if kind == klights.POINT:
+                q = [float(np.dot(n, np.asarray(lt["position"],
+                                                np.float64))) - c] * 2
+            elif kind == klights.AREA_RECT:
+                pts = [np.asarray(lt[f"p{j}"], np.float64) for j in range(4)]
+                dq = [float(np.dot(n, p)) - c for p in pts]
+                q = [min(dq), max(dq)]
+            else:   # AREA_SPHERE: samples anywhere on the sphere
+                d0 = float(np.dot(n, np.asarray(lt["center"],
+                                                np.float64))) - c
+                q = [d0 - lt["radius"], d0 + lt["radius"]]
+            # -1e-6 tolerance: geometry exactly touching the plane with a
+            # perpendicular host normal (box corners) is crossing-free —
+            # the shading origin stays in-plane and t = 0 < SHAPE_EPSILON
+            if q[0] >= 1e-3 and lo >= -1e-6:
+                skips[i].add(row)
+            elif q[1] <= -1e-3 and hi <= 1e-6:
+                skips[i].add(row)
+    return skips
 
 
 def _cv3(v):  # constant V3 from a python float triple (broadcasts with planes)
@@ -492,7 +583,10 @@ def _planar_hit(s, o: V3, d: V3):
         return t, inside
     if s.get("fast"):
         anchor = _cv3(s["anchor"])
-        t = nrm.dot(anchor - o) / nrm.dot(d)
+        # numerator folded: n.(anchor - o) == (n.anchor) - n.o with the
+        # first dot a host constant (saves 3 vector subs per surface)
+        c_n = np.float32(np.dot(s["n"], np.asarray(s["anchor"], np.float64)))
+        t = (c_n - nrm.dot(o)) / nrm.dot(d)
         rel = o + d * t - anchor
         a = rel.dot(_cv3(s["f1"]))
         b = rel.dot(_cv3(s["f2"]))
@@ -575,7 +669,8 @@ def _closest_hit(static, o: V3, d: V3):
     return t_best, sid, valid, n_best
 
 
-def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None):
+def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
+             skip_rows=()):
     """Baked-geometry occlusion test in (SHAPE_EPSILON, tmax).
 
     Boolean-only: the sphere test needs no stable-quadratic division — a
@@ -583,12 +678,15 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None):
     (eps, tmax), the reference's two-root gate (ky.cpp:1375-1382). The
     cancellation error of the naive small root is ~1e-4 relative, absorbed
     by the shadow epsilons. skip_sphere omits a sphere-light's own geometry
-    (see extract_static).
+    (see extract_static); skip_rows omits planar rows statically proven
+    non-occluding (_occl_skip_rows).
     """
     # mask born from a compare (not a bool literal tensor): Mosaic has no
     # i8->i1 truncation for materialized bool vectors
     hit = jnp.zeros_like(tmax) > 0.0
-    for s in static["planar"]:
+    for row, s in enumerate(static["planar"]):
+        if row in skip_rows:
+            continue
         t, inside = _planar_hit(s, o, d)
         hit = hit | (inside & (t > km.SHAPE_EPSILON) & (t < tmax))
     for j, s in enumerate(static["spheres"]):
@@ -607,6 +705,88 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None):
         in2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
         hit = hit | ((discr >= 0) & (in1 | in2))
     return hit
+
+
+def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips):
+    """K-ray occlusion: all NEE shadow rays of one bounce leave the SAME
+    shading point hp (offset +-RAY_OFFSET along n_shade by each ray's
+    n.d sign, ky.cpp:614), so every per-surface term that depends only on
+    (hp, n_shade) — the plane numerator, the dual-basis base coordinates,
+    the sphere center offset — is computed once and shared by all K rays
+    (~25% fewer sweep ops than K independent _any_hit calls at K=4).
+
+    rays:  [(wi: V3, tmax: plane), ...]
+    skips: per-ray iterables of planar rows to omit (_occl_skip_rows).
+    Returns one hit mask per ray. Same math as _any_hit up to fp
+    reassociation (the offset origin is folded into each dot product).
+    """
+    eps = km.SHAPE_EPSILON
+    K = len(rays)
+    nd = [n_shade.dot(wi) for wi, _ in rays]
+    se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
+                    np.float32(km.RAY_OFFSET)) for k in range(K)]
+    hits = [rays[k][1] < rays[k][1] - 1.0 for k in range(K)]  # false masks
+    o_k = None   # per-ray origins, built lazily for the non-fast fallback
+
+    def origins():
+        nonlocal o_k
+        if o_k is None:
+            o_k = [hp + n_shade * se[k] for k in range(K)]
+        return o_k
+
+    for row, s in enumerate(static["planar"]):
+        which = [k for k in range(K) if row not in skips[k]]
+        if not which:
+            continue
+        if s["kind"] == kshapes.DISK or not s.get("fast"):
+            for k in which:
+                t, inside = _planar_hit(s, origins()[k], rays[k][0])
+                hits[k] = hits[k] | (inside & (t > eps) & (t < rays[k][1]))
+            continue
+        nrm = _cv3(s["n"])
+        f1, f2 = _cv3(s["f1"]), _cv3(s["f2"])
+        anchor = np.asarray(s["anchor"], np.float64)
+        c_n = np.float32(np.dot(s["n"], anchor))
+        c_1 = np.float32(np.dot(s["f1"], anchor))
+        c_2 = np.float32(np.dot(s["f2"], anchor))
+        # shared: numerator / dual coords at hp, and their offset rates
+        num_h = c_n - nrm.dot(hp)
+        num_n = nrm.dot(n_shade)
+        a_h = f1.dot(hp) - c_1
+        a_n = f1.dot(n_shade)
+        b_h = f2.dot(hp) - c_2
+        b_n = f2.dot(n_shade)
+        for k in which:
+            wi, tmax = rays[k]
+            num = num_h - se[k] * num_n
+            t = num / nrm.dot(wi)   # raw div: gates reject inf/nan
+            a = (a_h + se[k] * a_n) + t * f1.dot(wi)
+            b = (b_h + se[k] * b_n) + t * f2.dot(wi)
+            if s["kind"] == kshapes.TRI:
+                inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
+            else:
+                inside = (a >= 0) & (a <= 1.0) & (b >= 0) & (b <= 1.0)
+            hits[k] = hits[k] | (inside & (t > eps) & (t < tmax))
+
+    off2 = np.float32(km.RAY_OFFSET * km.RAY_OFFSET)
+    for s in static["spheres"]:
+        c = _cv3(s["c"])
+        r = np.float32(s["r"])
+        vc = c - hp
+        vc2 = vc.length_squared()
+        vcn = vc.dot(n_shade)
+        for k in range(K):
+            wi, tmax = rays[k]
+            neg_b = vc.dot(wi) - se[k] * nd[k]
+            oc2 = vc2 - 2.0 * se[k] * vcn + off2   # |n_shade| == 1
+            discr = r * r - oc2 + neg_b * neg_b
+            sq = _safe_sqrt(discr)
+            t1 = neg_b - sq
+            t2 = neg_b + sq
+            in1 = (t1 > eps) & (t1 < tmax)
+            in2 = (t2 > eps) & (t2 < tmax)
+            hits[k] = hits[k] | ((discr >= 0) & (in1 | in2))
+    return hits
 
 
 def _select_rows(sid, rows, values):
@@ -970,13 +1150,17 @@ def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3,
 # -- lights (plane port of kytpu/light/lights.py) ----------------------------
 
 
-def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2):
+def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
     """sample_Li for baked light lt. Returns (wi, pdf, li_scalar, dist).
 
     The incident radiance factors as Li = emit (x) li_scalar with emit the
     light's (traced, SMEM) color triple and li_scalar a per-lane scalar
     plane — the factorization the coefficient-cache backward stores one
-    plane per light of (see _make_bwd_res_kernel)."""
+    plane per light of (see _make_bwd_res_kernel).
+
+    azim: optional precomputed (cos(2*pi*u2), sin(2*pi*u2)) planes — the
+    sphere/env azimuth transcendentals depend only on the shared u2 draw,
+    so the all-lights NEE block computes them ONCE for every light."""
     kind = lt["kind"]
     if kind == klights.POINT:
         lp = _cv3(lt["position"])
@@ -1032,9 +1216,11 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2):
         sin2 = jnp.where(tiny, sin2_max * u1, sin2)
         cos_t = jnp.where(tiny, _safe_sqrt(1.0 - sin2), cos_t)
         sin_t = _safe_sqrt(sin2)
-        phi = u2 * np.float32(km.TWO_PI)
-        cphi = jnp.cos(phi)
-        sphi = _sin_from_phi_cos(cphi, u2)
+        if azim is None:
+            cphi = jnp.cos(u2 * np.float32(km.TWO_PI))
+            sphi = _sin_from_phi_cos(cphi, u2)
+        else:
+            cphi, sphi = azim
         to_c = vec_c * inv_dc
         s_f, t_f, n_f = make_frame(to_c)
         # azimuth mirrored (phi + pi) to land on the reference's exact
@@ -1088,9 +1274,12 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2):
         # pdf (ky.cpp:3029-3035)
         z_u = 1.0 - 2.0 * u1
         r_u = _safe_sqrt(1.0 - z_u * z_u)
-        phi = np.float32(km.TWO_PI) * u2
-        cphi = jnp.cos(phi)
-        wi = V3(r_u * cphi, r_u * _sin_from_phi_cos(cphi, u2), z_u)
+        if azim is None:
+            cphi = jnp.cos(np.float32(km.TWO_PI) * u2)
+            sphi = _sin_from_phi_cos(cphi, u2)
+        else:
+            cphi, sphi = azim
+        wi = V3(r_u * cphi, r_u * sphi, z_u)
         sin_theta = _safe_sqrt(1.0 - wi.z * wi.z)
         pdf = jnp.where(sin_theta == 0.0, 0.0,
                         np.float32(1.0 / (2.0 * np.pi * np.pi))
@@ -1570,12 +1759,11 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             col_nee_tbl = specular.where(lobe_is_phong, diffuse) \
                 if has_plastic else diffuse
 
-            def nee_light(i, lt, u1, u2, sel_scale, sel_mask_scalar=None):
+            def nee_light(i, lt, smp, occ, sel_scale):
                 nonlocal acc_e, acc_env, addc_diff, addc_spec, addx
                 emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
                             light_emit_ref[i, 2])
-                wi, pdf_l, li_s, dist = _light_sample(
-                    lt, world_radius, hp, nrm, u1, u2)
+                wi, pdf_l, li_s, dist = smp
                 wi_l = to_local(s_f, t_f, n_f, wi)
                 _, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
                                                     wo_l, wi_l, eval_lobes,
@@ -1587,11 +1775,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     w = _safe_div(np.float32(1.0), pdf_l + pdf_b)
                 ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
                     & (ucos != 0.0) & ~color.is_black()
-                occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
-                               dist - km.SHADOW_EPSILON)
                 okf = jnp.where(ok & ~occ, w * sel_scale, 0.0)
-                if sel_mask_scalar is not None:
-                    okf = okf * sel_mask_scalar
                 bp = li_s * ucos * okf * lobe_scale
                 contrib = col_nee_tbl * emit_l * bp
 
@@ -1712,8 +1896,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                               _safe_div(np.float32(1.0), pdf_l + pdf_b))
                 ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
                     & (ucos != 0.0) & ~color.is_black()
+                # light identity is dynamic here: only rows skippable for
+                # EVERY light can be pruned from the shared sweep
                 occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
-                               dist - km.SHADOW_EPSILON)
+                               dist - km.SHADOW_EPSILON,
+                               skip_rows=frozenset.intersection(
+                                   *[frozenset(s)
+                                     for s in static["occl_skip"]]))
                 okf = jnp.where(ok & ~occ, w * np.float32(L), 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 ld = col_nee_tbl * emit_l * bp
@@ -1763,10 +1952,25 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 # correlating them across lights changes no expectation (the
                 # sum's variance is unchanged to first order because the
                 # lights' sample maps are unrelated), and it saves
-                # 2*(L-1) RNG draws per bounce (~4% of the veach forward)
+                # 2*(L-1) RNG draws per bounce (~4% of the veach forward).
+                # Sampling all lights BEFORE shading lets the occlusion
+                # sweeps merge (_any_hit_multi shares the per-surface hp/n
+                # terms) and the azimuth transcendentals be computed once.
                 u1, u2 = rng.uniform2(shp)
+                azim = None
+                if any(lt["kind"] in (klights.AREA_SPHERE, klights.ENV)
+                       for lt in lights):
+                    cphi_s = jnp.cos(np.float32(km.TWO_PI) * u2)
+                    azim = (cphi_s, _sin_from_phi_cos(cphi_s, u2))
+                smps = [_light_sample(lt, world_radius, hp, nrm, u1, u2,
+                                      azim) for lt in lights]
+                occs = _any_hit_multi(
+                    static, hp, nrm,
+                    [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
+                    static["occl_skip"])
                 for i, lt in enumerate(lights):
-                    ld = ld + nee_light(i, lt, u1, u2, np.float32(1.0))
+                    ld = ld + nee_light(i, lt, smps[i], occs[i],
+                                        np.float32(1.0))
             big_l = big_l + beta * ld
             e_term = e_term + ld
 
