@@ -1,0 +1,58 @@
+"""TPU probe: the table-driven big-scene megakernel at scale.
+
+Measures camera-rays/s (lanes per launch / marginal launch time, the same
+convention as benchmarks/run.py --scale for the jnp engines) on
+builders.random_spheres. Steady-state marginal timing per CLAUDE.md:
+time 16 launches vs 4, force completion with a host-value fetch.
+
+Env: NSPH (default 1024), DEPTH (default 3).
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+import numpy as np
+import jax.numpy as jnp
+from kytpu.scene import builders
+from kytpu.kernels import wavefront as wf, bigscene as bs
+from kytpu.scene.scene import generate_rays
+
+N = int(os.environ.get("NSPH", "1024"))
+DEPTH = int(os.environ.get("DEPTH", "3"))
+sc = builders.random_spheres(n=N, width=256, height=256, seed=0)
+print("surfaces:", int(sc.mat_kind.shape[0]), flush=True)
+cfg = wf.KernelConfig(max_depth=DEPTH, rows=16)
+cam = sc.camera
+npix = cam.width * cam.height
+xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5
+ys = (jnp.arange(npix) // cam.width).astype(jnp.float32) + 0.5
+o, d = generate_rays(cam, jnp.stack([xs, ys], axis=-1))
+rep = max(1, (1 << 20) // npix)
+o = jnp.tile(o, (rep, 1)); d = jnp.tile(d, (rep, 1))
+nlanes = o.shape[0]
+print("lanes:", nlanes, "depth:", DEPTH, flush=True)
+
+t0 = time.time()
+big = bs.make_bigscene_tracer(sc, cfg)
+out = big(sc, o, d, 0)
+v = float(out[0, 0])
+t1 = time.time()
+print(f"compile+first run: {t1-t0:.1f}s", flush=True)
+print("any nan:", bool(jnp.isnan(out).any()), "mean:", float(out.mean()),
+      flush=True)
+
+def run(k, seed0):
+    outs = None
+    for i in range(k):
+        outs = big(sc, o, d, seed0 + i)
+    return float(outs[0, 0])
+
+run(2, 100)
+tA = time.time(); run(4, 200); tB = time.time()
+run(2, 300)
+tC = time.time(); run(16, 400); tD = time.time()
+dt = (tD - tC) - (tB - tA)
+rate = (16 - 4) * nlanes / dt
+print(f"marginal: {dt/12*1000:.2f} ms/launch  {rate/1e6:.3f} M camera-rays/s",
+      flush=True)

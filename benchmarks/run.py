@@ -111,6 +111,22 @@ def main():
                     value=n_lanes / dt, unit="rays/s",
                     config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
                            f"{n_lanes} lanes, jnp fast, accel={kind}"))
+            if n_sph >= 256:
+                # table-driven megakernel (kernels/bigscene.py): O(1)
+                # compile in N, the production path at this scale
+                from kytpu.kernels import bigscene as kbig
+                sc = builders.random_spheres(n=n_sph, width=256, height=256)
+                o, d = kscene.generate_rays(
+                    sc.camera, jnp.stack([px + 0.5, py + 0.5], axis=-1))
+                big = kbig.make_bigscene_tracer(
+                    sc, kwf.KernelConfig(max_depth=3))
+                dt = _time(lambda i, sc=sc, big=big, o=o, d=d:
+                           big(sc, o, d, i), n=2)
+                results.append(dict(
+                    metric=f"scale_{n_sph}_spheres_bigscene_rays_per_s",
+                    value=n_lanes / dt, unit="rays/s",
+                    config=f"{sc.geometry.n_surfaces} surfaces, depth 3, "
+                           f"{n_lanes} lanes, table megakernel"))
         for r in results:
             r["value"] = round(float(r["value"]), 6 if r["unit"] == "s" else 2)
             print(json.dumps(r))

@@ -211,10 +211,14 @@ def main(argv=None):
         sp.add_argument("--out", type=str, default=None)
         sp.add_argument("--mesh", type=lambda s: tuple(map(int, s.split(","))),
                         default=None, help="t,s mesh shape for SPMD render")
-        sp.add_argument("--engine", choices=("jnp", "pallas"), default="jnp",
+        sp.add_argument("--engine", choices=("jnp", "pallas", "bigscene"),
+                        default="jnp",
                         help="pallas = fused TPU megakernel (production "
                              "estimator; the strategy-matrix drivers always "
-                             "use the jnp engine)")
+                             "use the jnp engine); bigscene = table-driven "
+                             "megakernel for hundreds+ surfaces (O(1) "
+                             "compile; pallas auto-routes there when the "
+                             "scene is large and eligible)")
         sp.add_argument("--sampler",
                         choices=("random", "stratified", "sobol", "debug"),
                         default="random",

@@ -124,11 +124,32 @@ def render(scene, spp: int = 16, seed: int = 1234,
     mode: "path" (the wavefront path tracer), "fast" (production
     single-sample-MIS), "direct" (NEE only), or "aov" with aov in
     {"position","normal","basecolor"}.
-    engine: "jnp" (XLA op graph) or "pallas" (the fused megakernel;
-    ignores mode/cfg.variant — it always runs the production transport).
+    engine: "jnp" (XLA op graph), "pallas" (the fused megakernel; ignores
+    mode/cfg.variant — it always runs the production transport), or
+    "bigscene" (the table-driven megakernel: O(1) compile in the surface
+    count, for scenes with hundreds-plus surfaces). "pallas" with a scene
+    past ~64 surfaces auto-routes to "bigscene" when eligible (untextured,
+    parallelogram rects) — baked-constant compiles blow up there.
     `clamp` reproduces the reference's per-pixel clamp01-of-the-mean
     (ky.cpp:3726); disable for HDR output or differentiable use.
     """
+    if engine == "pallas" and int(scene.mat_kind.shape[0]) > 64:
+        from kytpu.kernels import bigscene as kbig
+        try:
+            kbig.extract_tables(scene)
+            engine = "bigscene"
+        except NotImplementedError:
+            pass
+    if engine == "bigscene":
+        from kytpu.kernels import bigscene as kbig
+        from kytpu.kernels import wavefront as kwf
+        if isinstance(cfg, kwf.KernelConfig):
+            kcfg = cfg
+        else:
+            kcfg = kwf.KernelConfig(max_depth=getattr(cfg, "max_depth", 5))
+        return kbig.render_bigscene(scene, spp=spp, seed=seed, cfg=kcfg,
+                                    clamp=clamp,
+                                    rays_per_pass=rays_per_pass)
     if engine == "pallas":
         from kytpu.kernels import wavefront as kwf
         if isinstance(cfg, kwf.KernelConfig):

@@ -1,0 +1,1013 @@
+"""Table-driven Pallas megakernel for LARGE scenes (hundreds to thousands
+of surfaces).
+
+The production megakernel (kernels/wavefront.py) bakes geometry into the
+instruction stream — unbeatable per-ray cost, but code size and compile
+time grow O(N) and the per-surface-row material machinery (select chains,
+adjoint accumulators) assumes a handful of rows. This variant keeps the
+same VMEM-resident bounce loop but sweeps geometry with
+`jax.lax.fori_loop` over SoA parameter tables:
+
+  - one (rows, cols) table per shape class (tri/rect = shared layout,
+    disk, sphere), geometry columns first, material columns after — the
+    closest-hit loop reads whole rows and CARRIES the winning hit's
+    material through the sweep (per-lane dynamic gathers don't exist on
+    the VPU; a select per column per surface is the TPU-native gather,
+    and it amortizes to ~15 extra vector ops per surface);
+  - occlusion loops read only the geometry columns;
+  - loop bodies are unrolled x8: measured 93 Gtests/s vs 106 baked and
+    41 un-unrolled on v5e (benchmarks/bigscene_probe.py) — within 12% of
+    the baked sweep at O(1) code size and flat ~16 s compiles;
+  - tables live in SMEM when they fit (fast scalar reads), else VMEM
+    (measured 55 Gtests/s, scales past 4k surfaces; SMEM tables above
+    ~16-32 KB fail to compile on v5e).
+
+Transport is the same single-sample-MIS estimator as the baked kernel
+(emission MIS-weighted against the light pdf of the ray that found it,
+per-light NEE with the merged multi-ray occlusion sweep, iteration-rule
+Russian roulette, ky.cpp:4523-4618 semantics), so it converges to the
+same image as the jnp engines and the baked kernel. Forward-only, random
+sampler, no textures (those scenes route to the baked kernel or the jnp
+engines).
+
+Measured (v5e, random_spheres, depth 3, 1M lanes): see BASELINE.md — the
+jnp chunked sweep does 0.41 Mrays/s at 1026 surfaces; this kernel's
+per-bounce cost is ~(1+L) * N table tests at 55-93 Gtests/s.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kytpu import bsdf as kbsdf
+from kytpu.core import math as km
+from kytpu.kernels import wavefront as wf
+from kytpu.kernels.v3 import V3, make_frame, to_local, to_world, v3_full, v3_zeros
+from kytpu.light import lights as klights
+from kytpu.scene import shapes as kshapes
+
+LANE = 128
+UNROLL = 8
+# total table bytes above which tables move from SMEM to VMEM (SMEM
+# tables between 16 and 32 KB already fail to compile on v5e)
+SMEM_TABLE_LIMIT = 12 * 1024
+
+# planar table columns: geometry (occlusion loops read only these) ...
+PG_NX, PG_NY, PG_NZ, PG_CN = 0, 1, 2, 3          # plane normal, n.anchor
+PG_F1X, PG_F1Y, PG_F1Z, PG_K1 = 4, 5, 6, 7       # dual basis 1, f1.anchor
+PG_F2X, PG_F2Y, PG_F2Z, PG_K2 = 8, 9, 10, 11     # dual basis 2, f2.anchor
+PLANAR_GEO_COLS = 12
+# disk table: normal, n.anchor, center, radius^2
+DG_NX, DG_NY, DG_NZ, DG_CN, DG_PX, DG_PY, DG_PZ, DG_R2 = range(8)
+DISK_GEO_COLS = 8
+# sphere table: center, radius
+SG_CX, SG_CY, SG_CZ, SG_R = range(4)
+SPHERE_GEO_COLS = 4
+# material columns appended after the geometry columns of every class
+M_DIFX, M_DIFY, M_DIFZ = 0, 1, 2
+M_SPCX, M_SPCY, M_SPCZ = 3, 4, 5
+M_EMIX, M_EMIY, M_EMIZ = 6, 7, 8
+M_KIND, M_EXP, M_ETA, M_SPROB, M_DPROB, M_LIX = 9, 10, 11, 12, 13, 14
+M_ROW = 15   # global surface row (for the backward's adjoint scatter)
+MAT_COLS = 16
+
+
+def _pad_rows(a, mult=UNROLL):
+    n = a.shape[0]
+    npad = ((n + mult - 1) // mult) * mult if n else 0
+    if npad == n:
+        return a
+    return np.concatenate([a, np.zeros((npad - n,) + a.shape[1:],
+                                       a.dtype)], axis=0)
+
+
+def extract_tables(scene):
+    """Host-side extraction: geometry as numpy column blocks per shape
+    class + the surface-row index of each table row (for gathering the
+    traced material columns), plus the baked light records of
+    wavefront.extract_static (lights are few; they stay constants).
+
+    Returns (static, tables) where tables = {class: (geo_np, rows_np)}.
+    Raises NotImplementedError for non-parallelogram rects and textured
+    scenes (route those to the baked kernel / jnp engines).
+    """
+    if getattr(scene, "has_textures", False):
+        raise NotImplementedError(
+            "the table-driven kernel has no texture path — use the baked "
+            "megakernel or the jnp engines")
+    static = wf.extract_static(scene)
+    tris, rects, disks = [], [], []
+    tri_rows, rect_rows, disk_rows = [], [], []
+    for row, s in enumerate(static["planar"]):
+        if s["kind"] == kshapes.DISK:
+            n = np.asarray(s["n"], np.float64)
+            p0 = np.asarray(s["p0"], np.float64)
+            disks.append(list(n) + [float(np.dot(n, p0))] + list(p0)
+                         + [s["radius"] ** 2])
+            disk_rows.append(row)
+            continue
+        if not s.get("fast"):
+            raise NotImplementedError(
+                "the table-driven kernel supports triangles, parallelogram "
+                "rectangles, disks and spheres — this rect is not a "
+                "parallelogram (use the baked megakernel / jnp engines)")
+        n = np.asarray(s["n"], np.float64)
+        anchor = np.asarray(s["anchor"], np.float64)
+        f1 = np.asarray(s["f1"], np.float64)
+        f2 = np.asarray(s["f2"], np.float64)
+        rec = (list(n) + [float(np.dot(n, anchor))]
+               + list(f1) + [float(np.dot(f1, anchor))]
+               + list(f2) + [float(np.dot(f2, anchor))])
+        if s["kind"] == kshapes.TRI:
+            tris.append(rec)
+            tri_rows.append(row)
+        else:
+            rects.append(rec)
+            rect_rows.append(row)
+    spheres = [list(np.asarray(s["c"], np.float64)) + [s["r"]]
+               for s in static["spheres"]]
+    sph_rows = [len(static["planar"]) + j for j in range(len(spheres))]
+
+    def blk(lst, rows, cols):
+        geo = np.asarray(lst, np.float32).reshape(len(lst), cols)
+        return _pad_rows(geo), _pad_rows(np.asarray(rows, np.int32))
+
+    tables = {
+        "tri": blk(tris, tri_rows, PLANAR_GEO_COLS),
+        "rect": blk(rects, rect_rows, PLANAR_GEO_COLS),
+        "disk": blk(disks, disk_rows, DISK_GEO_COLS),
+        "sphere": blk(spheres, sph_rows, SPHERE_GEO_COLS),
+    }
+    return static, tables
+
+
+def _mat_cols(scene, rows_np, diffuse=None, specular=None, emission=None):
+    """Traced (rows, MAT_COLS) material block gathered by surface row.
+
+    diffuse/specular/emission override the scene tables (the diff tracer
+    passes its differentiable arguments here so the gathers are traced
+    functions of them)."""
+    rows = jnp.asarray(rows_np, jnp.int32)
+    npad = rows.shape[0]
+    if npad == 0:
+        return jnp.zeros((0, MAT_COLS), jnp.float32)
+    diffuse = scene.mat_diffuse if diffuse is None else diffuse
+    specular = scene.mat_specular if specular is None else specular
+    emission = scene.emission if emission is None else emission
+    cols = jnp.concatenate([
+        diffuse[rows],
+        specular[rows],
+        emission[rows],
+        scene.mat_kind[rows].astype(jnp.float32)[:, None],
+        scene.mat_exponent[rows][:, None],
+        scene.mat_eta[rows][:, None],
+        scene.mat_s_prob[rows][:, None],
+        scene.mat_d_prob[rows][:, None],
+        scene.light_index[rows].astype(jnp.float32)[:, None],
+        rows.astype(jnp.float32)[:, None],
+    ], axis=-1)
+    return cols.astype(jnp.float32)
+
+
+class _Carry:
+    """Closest-hit sweep carry: winner's t, normal and material columns."""
+
+    FIELDS = ("t", "nx", "ny", "nz", "difx", "dify", "difz",
+              "spcx", "spcy", "spcz", "emix", "emiy", "emiz",
+              "kind", "exp", "eta", "sprob", "dprob", "lix", "row")
+
+    @staticmethod
+    def init(shp):
+        z = jnp.zeros(shp, jnp.float32)
+        vals = {f: z for f in _Carry.FIELDS}
+        vals["t"] = jnp.full(shp, np.float32(np.inf))
+        vals["lix"] = z - 1.0
+        vals["row"] = z - 1.0
+        return tuple(vals[f] for f in _Carry.FIELDS)
+
+    @staticmethod
+    def select(carry, accept, t, n: V3, mat):
+        """mat: list of MAT_COLS traced scalars (table row slice)."""
+        vals = dict(zip(_Carry.FIELDS, carry))
+        new = dict(t=t, nx=n.x, ny=n.y, nz=n.z,
+                   difx=mat[M_DIFX], dify=mat[M_DIFY], difz=mat[M_DIFZ],
+                   spcx=mat[M_SPCX], spcy=mat[M_SPCY], spcz=mat[M_SPCZ],
+                   emix=mat[M_EMIX], emiy=mat[M_EMIY], emiz=mat[M_EMIZ],
+                   kind=mat[M_KIND], exp=mat[M_EXP], eta=mat[M_ETA],
+                   sprob=mat[M_SPROB], dprob=mat[M_DPROB], lix=mat[M_LIX],
+                   row=mat[M_ROW])
+        return tuple(jnp.where(accept, new[f], vals[f])
+                     for f in _Carry.FIELDS)
+
+
+def _planar_row_test(tab_ref, s, o: V3, d: V3, tri: bool):
+    """(t, inside, n) for planar table row s (padded rows have n = 0 =>
+    t = 0/0 = nan, rejected by every comparison)."""
+    n = V3(tab_ref[s, PG_NX], tab_ref[s, PG_NY], tab_ref[s, PG_NZ])
+    t = (tab_ref[s, PG_CN] - n.dot(o)) / n.dot(d)
+    f1 = V3(tab_ref[s, PG_F1X], tab_ref[s, PG_F1Y], tab_ref[s, PG_F1Z])
+    f2 = V3(tab_ref[s, PG_F2X], tab_ref[s, PG_F2Y], tab_ref[s, PG_F2Z])
+    a = (f1.dot(o) - tab_ref[s, PG_K1]) + t * f1.dot(d)
+    b = (f2.dot(o) - tab_ref[s, PG_K2]) + t * f2.dot(d)
+    if tri:
+        inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
+    else:
+        inside = (a >= 0) & (a <= 1.0) & (b >= 0) & (b <= 1.0)
+    return t, inside, n
+
+
+def _disk_row_test(tab_ref, s, o: V3, d: V3):
+    n = V3(tab_ref[s, DG_NX], tab_ref[s, DG_NY], tab_ref[s, DG_NZ])
+    t = (tab_ref[s, DG_CN] - n.dot(o)) / n.dot(d)
+    p0 = V3(tab_ref[s, DG_PX], tab_ref[s, DG_PY], tab_ref[s, DG_PZ])
+    hp = o + d * t
+    inside = (hp - p0).length_squared() <= tab_ref[s, DG_R2]
+    return t, inside, n
+
+
+def _sphere_row_parts(tab_ref, s, o: V3, d: V3):
+    """Cancellation-free quadratic setup, bitwise-matching the baked
+    kernel's _closest_hit: the naive discr = r^2 - |oc|^2 + (oc.d)^2
+    loses ~|oc|^2 * eps absolutely, which at a grazing hit far from the
+    origin fakes/shifts roots by O(0.1 r) — the hit normal then comes out
+    non-unit, the shading frame skews, and pow(cos_alpha > 1, exponent)
+    overflows downstream. perp-decomposition keeps the error local."""
+    c = V3(tab_ref[s, SG_CX], tab_ref[s, SG_CY], tab_ref[s, SG_CZ])
+    r = tab_ref[s, SG_R]
+    oc = c - o
+    neg_b = oc.dot(d)
+    perp = oc - d * neg_b
+    discr = r * r - perp.length_squared()
+    cc = oc.length_squared() - r * r
+    return c, r, cc, neg_b, discr
+
+
+def _fori(n_rows, body, carry):
+    """Unrolled-by-UNROLL fori_loop over padded table rows."""
+    if n_rows == 0:
+        return carry
+
+    def outer(i, cy):
+        for k in range(UNROLL):
+            cy = body(i * UNROLL + k, cy)
+        return cy
+
+    return jax.lax.fori_loop(0, n_rows // UNROLL, outer, carry)
+
+
+def _closest_hit_tables(refs, counts, o: V3, d: V3):
+    """Table-sweep closest hit. Returns the _Carry tuple (+ valid mask)."""
+    tri_ref, rect_ref, disk_ref, sph_ref = refs
+    carry = _Carry.init(o.x.shape)
+
+    def planar_body(tri, geo_cols):
+        def body(s, cy):
+            ref = tri_ref if tri else rect_ref
+            t, inside, n = _planar_row_test(ref, s, o, d, tri)
+            t_best = cy[0]
+            accept = inside & (t > km.SHAPE_EPSILON) & (t < t_best)
+            if not tri:
+                flip = n.dot(d) > 0
+                n = V3(jnp.where(flip, -n.x, n.x),
+                       jnp.where(flip, -n.y, n.y),
+                       jnp.where(flip, -n.z, n.z))
+            mat = [ref[s, geo_cols + c] for c in range(MAT_COLS)]
+            return _Carry.select(cy, accept, t, n, mat)
+        return body
+
+    carry = _fori(counts["tri"], planar_body(True, PLANAR_GEO_COLS), carry)
+    carry = _fori(counts["rect"], planar_body(False, PLANAR_GEO_COLS), carry)
+
+    def disk_body(s, cy):
+        t, inside, n = _disk_row_test(disk_ref, s, o, d)
+        accept = inside & (t > km.SHAPE_EPSILON) & (t < cy[0])
+        mat = [disk_ref[s, DISK_GEO_COLS + c] for c in range(MAT_COLS)]
+        return _Carry.select(cy, accept, t, n, mat)
+
+    carry = _fori(counts["disk"], disk_body, carry)
+
+    def sph_body(s, cy):
+        c, r, cc, neg_b, discr = _sphere_row_parts(sph_ref, s, o, d)
+        sq = wf._safe_sqrt(discr)
+        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
+        q = neg_b + sgn * sq
+        tq = cc / q    # raw div: q==0 -> inf/nan, rejected by the gates
+        t1 = jnp.minimum(q, tq)
+        t2 = jnp.maximum(q, tq)
+        t1_ok = t1 > km.SHAPE_EPSILON
+        t = jnp.where(t1_ok, t1, t2)
+        accept = (discr >= 0) & (r > 0) \
+            & (t1_ok | (t2 > km.SHAPE_EPSILON)) & (t < cy[0])
+        n = (o + d * t - c) * (np.float32(1.0) / jnp.maximum(r, 1e-20))
+        mat = [sph_ref[s, SPHERE_GEO_COLS + c] for c in range(MAT_COLS)]
+        return _Carry.select(cy, accept, t, n, mat)
+
+    carry = _fori(counts["sphere"], sph_body, carry)
+    return carry
+
+
+def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
+    """Merged K-ray occlusion over the tables (geometry columns only);
+    the wavefront._any_hit_multi algebra with traced per-row scalars.
+
+    The hit accumulators are fori_loop CARRIES, so they live as int32
+    planes (Mosaic cannot materialize bool vectors); masks inside the body
+    stay compare-born. Returns K bool masks."""
+    tri_ref, rect_ref, disk_ref, sph_ref = refs
+    eps = km.SHAPE_EPSILON
+    K = len(rays)
+    nd = [n_shade.dot(wi) for wi, _ in rays]
+    se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
+                    np.float32(km.RAY_OFFSET)) for k in range(K)]
+    one = np.int32(1)
+    hits = tuple(jnp.zeros(hp.x.shape, jnp.int32) for _ in range(K))
+
+    def planar_body(tri):
+        ref = tri_ref if tri else rect_ref
+
+        def body(s, hs):
+            n = V3(ref[s, PG_NX], ref[s, PG_NY], ref[s, PG_NZ])
+            f1 = V3(ref[s, PG_F1X], ref[s, PG_F1Y], ref[s, PG_F1Z])
+            f2 = V3(ref[s, PG_F2X], ref[s, PG_F2Y], ref[s, PG_F2Z])
+            num_h = ref[s, PG_CN] - n.dot(hp)
+            num_n = n.dot(n_shade)
+            a_h = f1.dot(hp) - ref[s, PG_K1]
+            a_n = f1.dot(n_shade)
+            b_h = f2.dot(hp) - ref[s, PG_K2]
+            b_n = f2.dot(n_shade)
+            out = []
+            for k in range(K):
+                wi, tmax = rays[k]
+                t = (num_h - se[k] * num_n) / n.dot(wi)
+                a = (a_h + se[k] * a_n) + t * f1.dot(wi)
+                b = (b_h + se[k] * b_n) + t * f2.dot(wi)
+                if tri:
+                    inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
+                else:
+                    inside = (a >= 0) & (a <= 1.0) & (b >= 0) & (b <= 1.0)
+                out.append(jnp.where(inside & (t > eps) & (t < tmax),
+                                     one, hs[k]))
+            return tuple(out)
+        return body
+
+    hits = _fori(counts["tri"], planar_body(True), hits)
+    hits = _fori(counts["rect"], planar_body(False), hits)
+
+    def disk_body(s, hs):
+        n = V3(disk_ref[s, DG_NX], disk_ref[s, DG_NY], disk_ref[s, DG_NZ])
+        p0 = V3(disk_ref[s, DG_PX], disk_ref[s, DG_PY], disk_ref[s, DG_PZ])
+        num_h = disk_ref[s, DG_CN] - n.dot(hp)
+        num_n = n.dot(n_shade)
+        r2 = disk_ref[s, DG_R2]
+        out = []
+        for k in range(K):
+            wi, tmax = rays[k]
+            t = (num_h - se[k] * num_n) / n.dot(wi)
+            o_k = hp + n_shade * se[k]
+            rel = o_k + wi * t - p0
+            inside = rel.length_squared() <= r2
+            out.append(jnp.where(inside & (t > eps) & (t < tmax),
+                                 one, hs[k]))
+        return tuple(out)
+
+    hits = _fori(counts["disk"], disk_body, hits)
+    off2 = np.float32(km.RAY_OFFSET * km.RAY_OFFSET)
+
+    def sph_body(s, hs):
+        c = V3(sph_ref[s, SG_CX], sph_ref[s, SG_CY], sph_ref[s, SG_CZ])
+        r = sph_ref[s, SG_R]
+        vc = c - hp
+        vc2 = vc.length_squared()
+        vcn = vc.dot(n_shade)
+        out = []
+        for k in range(K):
+            wi, tmax = rays[k]
+            neg_b = vc.dot(wi) - se[k] * nd[k]
+            oc2 = vc2 - 2.0 * se[k] * vcn + off2
+            discr = r * r - oc2 + neg_b * neg_b
+            sq = wf._safe_sqrt(discr)
+            t1 = neg_b - sq
+            t2 = neg_b + sq
+            in1 = (t1 > eps) & (t1 < tmax)
+            in2 = (t2 > eps) & (t2 < tmax)
+            out.append(jnp.where((discr >= 0) & (r > 0) & (in1 | in2),
+                                 one, hs[k]))
+        return tuple(out)
+
+    hits = _fori(counts["sphere"], sph_body, hits)
+    return [h != 0 for h in hits]
+
+
+def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
+                 grad: bool = False):
+    """Forward transport over the geometry/material tables — the
+    single-sample-MIS estimator of wavefront._make_kernel (ky.cpp
+    path_tracing_iteration_t semantics) with every per-surface-row select
+    replaced by the carried hit-record columns.
+
+    grad=True builds the path-replay backward (same structure as the baked
+    kernel's grad mode, wavefront.py:1571-2192): it re-runs the transport
+    on the same RNG stream carrying the tail radiance
+    R_{b+1} = (R_b - E_b)/T_b, and instead of per-material-row VMEM
+    accumulators (impossible at thousands of rows) it WRITES per-bounce
+    per-lane adjoint-contribution planes tagged with the hit row — the
+    caller segment-sums them into the (M, 3) gradients outside the kernel
+    (one one-hot matmul on the MXU). Output layout (dout, stacked planes):
+      bounce b in [0, max_depth):  9 planes [dd.xyz, ds.xyz, de.xyz]
+      horizon bounce:              3 planes [de.xyz]
+      then 3 planes d_env and 3*L planes d_light_emit (per-lane sums over
+      bounces; L = len(lights)); rows_out: (max_depth+1) int32 planes of
+      sid+1 (0 = miss)."""
+    lights = static["lights"]
+    L = len(lights)
+    world_radius = static["world_radius"]
+    # statically-present lobes from the scene's material kinds
+    mk = set(static["mats"]["kind"])
+    lobes = set()
+    if kbsdf.MAT_MATTE in mk or kbsdf.MAT_PLASTIC in mk:
+        lobes.add(kbsdf.LAMBERT)
+    if kbsdf.MAT_PLASTIC in mk:
+        lobes.add(kbsdf.PHONG)
+    if kbsdf.MAT_MIRROR in mk:
+        lobes.add(kbsdf.MIRROR)
+    if kbsdf.MAT_GLASS in mk:
+        lobes.add(kbsdf.GLASS)
+    lobes = frozenset(lobes)
+    eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
+    has_plastic = kbsdf.MAT_PLASTIC in mk
+    has_delta = bool(lobes & {kbsdf.MIRROR, kbsdf.GLASS})
+    env_i = next((i for i, lt in enumerate(lights)
+                  if lt["kind"] == klights.ENV), None)
+
+    def kernel(seed_ref, tri_ref, rect_ref, disk_ref, sph_ref,
+               light_emit_ref, env_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               *out_refs):
+        refs = (tri_ref, rect_ref, disk_ref, sph_ref)
+        pid = pl.program_id(0)
+        tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
+        if hw_rng:
+            pltpu.prng_seed(tile_seed)
+        rng = wf._Rng(tile_seed, hw_rng)
+
+        if grad:
+            # (gx gy gz flx fly flz) inputs precede the two outputs
+            gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref, \
+                dout_ref, rows_ref = out_refs
+            g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
+            r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
+            dplanes = []          # stacked in output order
+            row_planes = []       # per-bounce sid+1 int32 planes
+            acc_env = None
+            acc_le = [None] * L   # per-light d light_emit
+        else:
+            lx_ref, ly_ref, lz_ref = out_refs
+
+        o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
+        d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
+        shp = o.x.shape
+        beta = v3_full(o.x, 1.0, 1.0, 1.0)
+        big_l = v3_zeros(o.x)
+        alive = jnp.zeros(shp, jnp.float32) < 1.0
+        spec_prev = jnp.zeros(shp, jnp.int32)
+        pdf_prev = jnp.ones(shp, jnp.float32)
+
+        def v3add(a, b):
+            return b if a is None else a + b
+
+        for bounce in range(cfg.max_depth + 1):
+            cy = _closest_hit_tables(refs, counts, o, d)
+            (t, nx, ny, nz, difx, dify, difz, spcx, spcy, spcz,
+             emix, emiy, emiz, kindf, expo, eta, sprob, dprob, lixf,
+             rowf) = cy
+            valid = jnp.isfinite(t) & (t < np.float32(np.inf))
+            nrm = V3(nx, ny, nz)
+            t_safe = jnp.where(valid, t, 1.0)
+            hp = o + d * t_safe
+            wo = -d
+
+            facing = nrm.dot(wo) > 0.0
+            emit_mask = valid & facing
+            le = V3(jnp.where(emit_mask, emix, 0.0),
+                    jnp.where(emit_mask, emiy, 0.0),
+                    jnp.where(emit_mask, emiz, 0.0))
+
+            if bounce == 0:
+                full = True
+            elif has_delta:
+                full = spec_prev != 0
+            else:
+                full = False
+            if full is True:
+                w_emit = jnp.ones(shp, jnp.float32)
+            else:
+                li_idx = lixf.astype(jnp.int32)
+                pdf_l_hit = wf._hit_light_pdf(lights, li_idx, o, d,
+                                              t_safe, nrm)
+                w_emit = jnp.where(full, np.float32(1.0),
+                                   wf._safe_div(pdf_prev,
+                                                pdf_prev + pdf_l_hit))
+            wb = jnp.where(alive, w_emit, 0.0)
+            e_term = le * wb
+            big_l = big_l + beta * e_term
+            if grad:
+                # d emission[row] of the hit-emission term
+                wbm = jnp.where(emit_mask, wb, 0.0)
+                de_b = g * beta * wbm
+
+            if env_i is not None:
+                env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
+                         env_ref[0, 1] * jnp.ones(shp, jnp.float32),
+                         env_ref[0, 2] * jnp.ones(shp, jnp.float32))
+                if full is True:
+                    w_env = np.float32(1.0)
+                else:
+                    pdf_env = wf._light_pdf(lights[env_i], o, nrm, d)
+                    w_env = jnp.where(full, np.float32(1.0),
+                                      wf._safe_div(pdf_prev,
+                                                   pdf_prev + pdf_env))
+                wenv = jnp.where(alive & ~valid, w_env, 0.0)
+                e_term = e_term + env * wenv
+                big_l = big_l + beta * env * wenv
+                if grad:
+                    acc_env = v3add(acc_env, g * beta * wenv)
+
+            if grad:
+                row_planes.append((rowf.astype(jnp.int32) + np.int32(1))
+                                  * valid.astype(jnp.int32))
+            if bounce == cfg.max_depth:
+                if grad:
+                    dplanes.extend([de_b.x, de_b.y, de_b.z])
+                continue
+            cont = alive & valid
+
+            # material resolution from the carried columns
+            diffuse = V3(difx, dify, difz)
+            specular = V3(spcx, spcy, spcz)
+            is_matte = kindf == np.float32(kbsdf.MAT_MATTE)
+            is_mirror = kindf == np.float32(kbsdf.MAT_MIRROR)
+            is_glass = kindf == np.float32(kbsdf.MAT_GLASS)
+            is_plastic = kindf == np.float32(kbsdf.MAT_PLASTIC)
+            if has_plastic:
+                u_lobe = rng.uniform(shp)
+                pick_spec = u_lobe < sprob
+                plastic_kind = jnp.where(pick_spec, np.int32(kbsdf.PHONG),
+                                         np.int32(kbsdf.LAMBERT))
+                inv_sp = 1.0 / jnp.maximum(sprob, 1e-12)
+                inv_dp = 1.0 / jnp.maximum(dprob, 1e-12)
+                plastic_col = (specular * inv_sp).where(pick_spec,
+                                                        diffuse * inv_dp)
+                lobe_is_phong = is_plastic & pick_spec
+                lobe_scale = jnp.where(is_plastic,
+                                       jnp.where(pick_spec, inv_sp, inv_dp),
+                                       1.0)
+            else:
+                plastic_kind = np.int32(kbsdf.LAMBERT)
+                plastic_col = diffuse
+                lobe_is_phong = is_plastic & (t < -1.0)  # statically false
+                lobe_scale = np.float32(1.0)
+            kind = jnp.where(is_matte, np.int32(kbsdf.LAMBERT),
+                             jnp.where(is_mirror, np.int32(kbsdf.MIRROR),
+                                       jnp.where(is_glass,
+                                                 np.int32(kbsdf.GLASS),
+                                                 plastic_kind)))
+            color = diffuse.where(is_matte,
+                                  specular.where(is_mirror | is_glass,
+                                                 plastic_col))
+            color2 = diffuse
+            if has_delta:
+                delta = is_mirror | is_glass
+                nee_act = cont & ~delta
+            else:
+                nee_act = cont
+
+            s_f, t_f, n_f = make_frame(nrm)
+            wo_l = to_local(s_f, t_f, n_f, wo)
+            col_nee_tbl = specular.where(lobe_is_phong, diffuse) \
+                if has_plastic else diffuse
+
+            # ---- NEE: sample all lights, merged occlusion, accumulate ----
+            u1, u2 = rng.uniform2(shp)
+            azim = None
+            if any(lt["kind"] in (klights.AREA_SPHERE, klights.ENV)
+                   for lt in lights):
+                cphi_s = jnp.cos(np.float32(km.TWO_PI) * u2)
+                azim = (cphi_s, wf._sin_from_phi_cos(cphi_s, u2))
+            smps = [wf._light_sample(lt, world_radius, hp, nrm, u1, u2,
+                                     azim) for lt in lights]
+            occs = _any_hit_tables(
+                refs, counts, hp, nrm,
+                [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps])
+            ld = v3_zeros(o.x)
+            if grad:
+                # bounce-local color adjoints (every term of this bounce
+                # attaches to the SAME carried hit row)
+                addc_diff = v3_zeros(o.x)
+                addc_spec = v3_zeros(o.x)
+                gb = g * beta
+            for i, lt in enumerate(lights):
+                emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
+                            light_emit_ref[i, 2])
+                wi, pdf_l, li_s, dist = smps[i]
+                wi_l = to_local(s_f, t_f, n_f, wi)
+                _, pdf_b, f_unit_e = wf._bsdf_eval_pdf(
+                    kind, color, expo, wo_l, wi_l, eval_lobes, None)
+                ucos = f_unit_e * jnp.abs(wi_l.z)
+                if lt["kind"] in (klights.POINT, klights.DIRECTION):
+                    w = wf._safe_div(np.float32(1.0), pdf_l)
+                else:
+                    w = wf._safe_div(np.float32(1.0), pdf_l + pdf_b)
+                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0) & ~color.is_black()
+                okf = jnp.where(ok & ~occs[i], w, 0.0)
+                bp = li_s * ucos * okf * lobe_scale
+                ld = ld + col_nee_tbl * emit_l * bp
+                if grad:
+                    # d light emission (linear in Li; routed to the light's
+                    # emitting surface row / env leaf by the caller)
+                    acc_le[i] = v3add(acc_le[i], gb * col_nee_tbl * bp)
+                    # d material color (linear in eval): target by lobe
+                    addc = gb * emit_l * bp
+                    if has_plastic:
+                        addc_spec = addc_spec + V3(
+                            jnp.where(lobe_is_phong, addc.x, 0.0),
+                            jnp.where(lobe_is_phong, addc.y, 0.0),
+                            jnp.where(lobe_is_phong, addc.z, 0.0))
+                        addc_diff = addc_diff + V3(
+                            jnp.where(lobe_is_phong, 0.0, addc.x),
+                            jnp.where(lobe_is_phong, 0.0, addc.y),
+                            jnp.where(lobe_is_phong, 0.0, addc.z))
+                    else:
+                        addc_diff = addc_diff + addc
+            big_l = big_l + beta * ld
+            if grad:
+                e_term = e_term + ld
+
+            # ---- extension sample ----
+            u1, u2 = rng.uniform2(shp)
+            f_s, wi_l, pdf_s, delta_s, f_unit_s, glass_refract = \
+                wf._bsdf_sample(kind, color, color2, eta, expo, wo_l,
+                                u1, u2, lobes, None)
+            wi_w = to_world(s_f, t_f, n_f, wi_l)
+            ok = cont & ~f_s.is_black() & (pdf_s != 0.0)
+            thr = f_s * wf._safe_div(jnp.abs(wi_l.z), pdf_s)
+            beta_new = beta * thr
+            # kill f32-overflow lanes (see wavefront._make_kernel)
+            ok = ok & (beta_new.max_component() < np.float32(np.inf))
+            if bounce > cfg.rr_start:
+                u_rr = rng.uniform(shp)
+                q = jnp.maximum(np.float32(0.05),
+                                1.0 - beta_new.max_component())
+                kill = u_rr < q
+                scale = wf._safe_div(np.float32(1.0), 1.0 - q)
+                beta_new = beta_new * scale
+                alive_n = ok & ~kill
+            else:
+                scale = np.float32(1.0)
+                alive_n = ok
+
+            if grad:
+                # tail radiance for the NEXT vertex:
+                # R_{b+1} = (R_b - E_b) / T_b, 0 where the path ends
+                t_eff = thr * scale
+                t_x = jnp.where(alive_n, t_eff.x, 0.0)
+                t_y = jnp.where(alive_n, t_eff.y, 0.0)
+                t_z = jnp.where(alive_n, t_eff.z, 0.0)
+                r_next = V3(wf._safe_div(r_tail.x - e_term.x, t_x),
+                            wf._safe_div(r_tail.y - e_term.y, t_y),
+                            wf._safe_div(r_tail.z - e_term.z, t_z))
+                r_next = V3(jnp.where(alive_n, r_next.x, 0.0),
+                            jnp.where(alive_n, r_next.y, 0.0),
+                            jnp.where(alive_n, r_next.z, 0.0))
+                # throughput adjoint: T = base_color * lobe_scale * t_unit
+                t_unit = f_unit_s * wf._safe_div(jnp.abs(wi_l.z),
+                                                 pdf_s) * scale
+                coeff_t = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                addt = g * beta * r_next * coeff_t
+                if has_delta or has_plastic:
+                    to_spec_t = (is_mirror | (is_glass & ~glass_refract)
+                                 | lobe_is_phong)
+                    addc_spec = addc_spec + V3(
+                        jnp.where(to_spec_t, addt.x, 0.0),
+                        jnp.where(to_spec_t, addt.y, 0.0),
+                        jnp.where(to_spec_t, addt.z, 0.0))
+                    addc_diff = addc_diff + V3(
+                        jnp.where(to_spec_t, 0.0, addt.x),
+                        jnp.where(to_spec_t, 0.0, addt.y),
+                        jnp.where(to_spec_t, 0.0, addt.z))
+                else:
+                    addc_diff = addc_diff + addt
+                dplanes.extend([addc_diff.x, addc_diff.y, addc_diff.z,
+                                addc_spec.x, addc_spec.y, addc_spec.z,
+                                de_b.x, de_b.y, de_b.z])
+                r_tail = r_next
+
+            o = wf._offset_origin(hp, nrm, wi_w).where(alive_n, o)
+            d = wi_w.where(alive_n, d)
+            beta = beta_new.where(alive_n, beta)
+            if has_delta:
+                spec_prev = jnp.where(alive_n, delta_s.astype(jnp.int32),
+                                      spec_prev)
+            pdf_prev = jnp.where(alive_n, pdf_s, pdf_prev)
+            alive = alive_n
+
+        if grad:
+            zero = jnp.zeros(shp, jnp.float32)
+            env_v = acc_env if acc_env is not None else v3_zeros(zero)
+            dplanes.extend([env_v.x, env_v.y, env_v.z])
+            for i in range(L):
+                le_v = acc_le[i] if acc_le[i] is not None else v3_zeros(zero)
+                dplanes.extend([le_v.x, le_v.y, le_v.z])
+            dout_ref[:] = jnp.stack(dplanes, axis=0)
+            rows_ref[:] = jnp.stack(row_planes, axis=0)
+        else:
+            lx_ref[:] = big_l.x
+            ly_ref[:] = big_l.y
+            lz_ref[:] = big_l.z
+
+    return kernel
+
+
+_TRACER_MEMO: dict = {}
+
+
+def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
+                         interpret: bool = False, _hash_rng: bool = False):
+    """Jitted lane tracer over the geometry tables.
+
+    Returns fn(scene, o, d, seed) -> (N, 3) radiance. Geometry columns are
+    host constants of the table arrays; the material columns are traced
+    (gathered from scene.mat_* per call), so parameter updates reuse the
+    compile. One Mosaic compile per (geometry digest, cfg) — compile time
+    is O(1) in the surface count (fori_loop sweeps)."""
+    cfg = cfg or wf.KernelConfig()
+    if cfg.sampler != "random":
+        raise NotImplementedError("bigscene kernel: sampler='random' only")
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    static, tables = extract_tables(scene)
+    memo_key = ("big", wf._static_digest(static), cfg, repr(interpret),
+                _hash_rng)
+    cached = _TRACER_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    counts = {k: tables[k][0].shape[0] for k in tables}
+    hw = interpret is False and not _hash_rng
+    kernel = _make_kernel(static, counts, cfg, hw_rng=hw)
+    n_lights = int(scene.n_lights)
+    has_env = bool(scene.has_env)
+    geo_np = {k: tables[k][0] for k in tables}
+    rows_np = {k: tables[k][1] for k in tables}
+    geo_cols = {"tri": PLANAR_GEO_COLS, "rect": PLANAR_GEO_COLS,
+                "disk": DISK_GEO_COLS, "sphere": SPHERE_GEO_COLS}
+    total_bytes = sum(
+        g.shape[0] * (g.shape[1] + MAT_COLS) * 4 for g in geo_np.values())
+    table_space = pltpu.SMEM if total_bytes <= SMEM_TABLE_LIMIT \
+        else pltpu.VMEM
+
+    @jax.jit
+    def trace(scene, o, d, seed):
+        n = o.shape[0]
+        tile = cfg.rows * LANE
+        npad = ((n + tile - 1) // tile) * tile
+        grid = npad // tile
+
+        def planes(v):
+            pad = jnp.zeros((npad - n,), jnp.float32)
+            return [jnp.concatenate([v[:, i], pad])
+                    .reshape(grid * cfg.rows, LANE) for i in range(3)]
+
+        ox, oy, oz = planes(o)
+        dx, dy, dz = planes(d)
+        tabs = []
+        for k in ("tri", "rect", "disk", "sphere"):
+            g = jnp.asarray(geo_np[k])
+            m = _mat_cols(scene, rows_np[k])
+            tabs.append(jnp.concatenate([g, m], axis=-1) if g.shape[0]
+                        else jnp.zeros((UNROLL, geo_cols[k] + MAT_COLS),
+                                       jnp.float32))
+
+        blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        tab_spec = [pl.BlockSpec(memory_space=table_space) for _ in tabs]
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        light_emit = (scene.lights.emit if n_lights
+                      else jnp.zeros((1, 3), jnp.float32))
+        env = (scene.env_radiance_ if has_env
+               else jnp.zeros(3, jnp.float32)).reshape(1, 3)
+        out = pl.pallas_call(
+            kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+               blk, blk, blk, blk, blk, blk],
+            out_specs=[blk, blk, blk],
+            out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
+                                            jnp.float32) for _ in range(3)],
+            interpret=interpret,
+        )(seed_arr, *tabs, light_emit, env, ox, oy, oz, dx, dy, dz)
+        lx, ly, lz = [v.reshape(-1)[:n] for v in out]
+        return jnp.stack([lx, ly, lz], axis=-1)
+
+    _TRACER_MEMO[memo_key] = trace
+    return trace
+
+
+def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
+                              interpret: bool = False,
+                              _hash_rng: bool = False):
+    """Differentiable table-kernel tracer (path-replay backward).
+
+    Returns fn(diffuse, specular, emission, env, o, d, seed) -> (N, 3)
+    radiance with a custom VJP producing (d_diffuse, d_specular,
+    d_emission, d_env) — detached-sampling gradients identical in
+    semantics to wavefront.make_pallas_diff_tracer(backward="replay"),
+    but scaled to thousands of surfaces: the backward kernel writes
+    per-bounce per-lane adjoint contributions tagged with the hit row and
+    the host graph segment-sums them into the (M, 3) tables (one one-hot
+    matmul per backward — per-row VMEM accumulators would need
+    3*M*rows*LANE*4 bytes and die past ~100 rows). NEE light-emission
+    adjoints are routed to each light's emitting surface row exactly as
+    diff.params.set_params ties them."""
+    cfg = cfg or wf.KernelConfig()
+    if cfg.sampler != "random":
+        raise NotImplementedError("bigscene kernel: sampler='random' only")
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    static, tables = extract_tables(scene)
+    memo_key = ("bigdiff", wf._static_digest(static), cfg, repr(interpret),
+                _hash_rng)
+    cached = _TRACER_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    counts = {k: tables[k][0].shape[0] for k in tables}
+    hw = interpret is False and not _hash_rng
+    fwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw)
+    bwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw, grad=True)
+    L = len(static["lights"])
+    n_lights = int(scene.n_lights)
+    m_rows = int(scene.mat_kind.shape[0])
+    geo_np = {k: tables[k][0] for k in tables}
+    rows_np = {k: tables[k][1] for k in tables}
+    geo_cols = {"tri": PLANAR_GEO_COLS, "rect": PLANAR_GEO_COLS,
+                "disk": DISK_GEO_COLS, "sphere": SPHERE_GEO_COLS}
+    total_bytes = sum(
+        g.shape[0] * (g.shape[1] + MAT_COLS) * 4 for g in geo_np.values())
+    table_space = pltpu.SMEM if total_bytes <= SMEM_TABLE_LIMIT \
+        else pltpu.VMEM
+    B = cfg.max_depth            # bounces with extension terms
+    P = 9 * B + 6 + 3 * L        # dout planes (see _make_kernel grad doc)
+    light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
+        if n_lights else []
+    light_kinds = [int(v) for v in np.asarray(scene.lights.kinds)] \
+        if n_lights else []
+    lights_emit_const = (np.asarray(scene.lights.emit) if n_lights
+                         else np.zeros((1, 3), np.float32))
+
+    def _light_emit_of(emission, env):
+        if not n_lights:
+            return jnp.zeros((1, 3), jnp.float32)
+        rows = jnp.asarray([max(r, 0) for r in light_rows], jnp.int32)
+        has = jnp.asarray([r >= 0 for r in light_rows])[:, None]
+        emit = jnp.where(has, emission[rows],
+                         jnp.asarray(lights_emit_const))
+        for i, k in enumerate(light_kinds):
+            if k == klights.ENV:
+                emit = emit.at[i].set(env)
+        return emit
+
+    def _tabs(diffuse, specular, emission):
+        tabs = []
+        for k in ("tri", "rect", "disk", "sphere"):
+            g = jnp.asarray(geo_np[k])
+            m = _mat_cols(scene, rows_np[k], diffuse, specular, emission)
+            tabs.append(jnp.concatenate([g, m], axis=-1) if g.shape[0]
+                        else jnp.zeros((UNROLL, geo_cols[k] + MAT_COLS),
+                                       jnp.float32))
+        return tabs
+
+    def _grid_of(n):
+        tile = cfg.rows * LANE
+        npad = ((n + tile - 1) // tile) * tile
+        return npad, npad // tile
+
+    def _planes(v, n, npad, rows):
+        pad = jnp.zeros((npad - n,), jnp.float32)
+        return [jnp.concatenate([v[:, i], pad]).reshape(rows, LANE)
+                for i in range(3)]
+
+    def _specs(grid):
+        blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        tab_spec = [pl.BlockSpec(memory_space=table_space)
+                    for _ in range(4)]
+        return blk, smem, tab_spec
+
+    @jax.custom_vjp
+    def trace(diffuse, specular, emission, env, o, d, seed):
+        return _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+
+    def _fwd_impl(diffuse, specular, emission, env, o, d, seed):
+        n = o.shape[0]
+        npad, grid = _grid_of(n)
+        rows = grid * cfg.rows
+        blk, smem, tab_spec = _specs(grid)
+        ox, oy, oz = _planes(o, n, npad, rows)
+        dx, dy, dz = _planes(d, n, npad, rows)
+        out = pl.pallas_call(
+            fwd_kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+               blk, blk, blk, blk, blk, blk],
+            out_specs=[blk, blk, blk],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                       for _ in range(3)],
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1),
+          *_tabs(diffuse, specular, emission),
+          _light_emit_of(emission, env), env.reshape(1, 3),
+          ox, oy, oz, dx, dy, dz)
+        lx, ly, lz = [v.reshape(-1)[:n] for v in out]
+        return jnp.stack([lx, ly, lz], axis=-1)
+
+    def _fwd(diffuse, specular, emission, env, o, d, seed):
+        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+        return big_l, (diffuse, specular, emission, env, o, d, seed, big_l)
+
+    def _bwd(res, g):
+        diffuse, specular, emission, env, o, d, seed, big_l = res
+        n = o.shape[0]
+        npad, grid = _grid_of(n)
+        rows = grid * cfg.rows
+        blk, smem, tab_spec = _specs(grid)
+        ox, oy, oz = _planes(o, n, npad, rows)
+        dx, dy, dz = _planes(d, n, npad, rows)
+        gx, gy, gz = _planes(g, n, npad, rows)
+        flx, fly, flz = _planes(big_l, n, npad, rows)
+
+        def stk(nplanes):
+            return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+
+        dout, rows_out = pl.pallas_call(
+            bwd_kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+               blk, blk, blk, blk, blk, blk,
+               blk, blk, blk, blk, blk, blk],
+            out_specs=[stk(P), stk(B + 1)],
+            out_shape=[jax.ShapeDtypeStruct((P, rows, LANE), jnp.float32),
+                       jax.ShapeDtypeStruct((B + 1, rows, LANE), jnp.int32)],
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1),
+          *_tabs(diffuse, specular, emission),
+          _light_emit_of(emission, env), env.reshape(1, 3),
+          ox, oy, oz, dx, dy, dz, gx, gy, gz, flx, fly, flz)
+        dout = dout.reshape(P, -1)[:, :n]           # (P, n)
+        sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n), 0 = miss
+
+        # per-bounce 9-column contribution rows -> segment-sum by sid+1
+        data = [dout[9 * b:9 * b + 9].T for b in range(B)]
+        horizon = jnp.concatenate(
+            [jnp.zeros((n, 6), jnp.float32), dout[9 * B:9 * B + 3].T],
+            axis=-1)
+        data.append(horizon)
+        flat = jnp.concatenate(data, axis=0)                 # ((B+1)*n, 9)
+        ids = sid1.reshape(-1)
+        seg = jax.ops.segment_sum(flat, ids, num_segments=m_rows + 1)[1:]
+        dd, ds, de = seg[:, 0:3], seg[:, 3:6], seg[:, 6:9]
+        denv = dout[9 * B + 3:9 * B + 6].sum(axis=-1)
+        for i in range(L):
+            dle = dout[9 * B + 6 + 3 * i:9 * B + 9 + 3 * i].sum(axis=-1)
+            r = light_rows[i] if i < len(light_rows) else -1
+            if r >= 0:
+                de = de.at[r].add(dle)
+            elif i < len(light_kinds) and light_kinds[i] == klights.ENV:
+                denv = denv + dle
+        return dd, ds, de, denv, None, None, None
+
+    trace.defvjp(_fwd, _bwd)
+    _TRACER_MEMO[memo_key] = trace
+    return trace
+
+
+def render_bigscene(scene, spp: int = 16, seed: int = 1234,
+                    cfg: wf.KernelConfig | None = None, clamp: bool = True,
+                    rays_per_pass: int = 1 << 22, interpret: bool = False):
+    """Full-frame render through the table-driven kernel -> (H, W, 3)."""
+    from kytpu.kernels.wavefront import render_pallas
+
+    tracer = make_bigscene_tracer(scene, cfg, interpret)
+    return render_pallas(scene, spp=spp, seed=seed, cfg=cfg, clamp=clamp,
+                         rays_per_pass=rays_per_pass, interpret=interpret,
+                         tracer=tracer)

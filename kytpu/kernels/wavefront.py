@@ -1984,6 +1984,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             thr = f_s * _safe_div(jnp.abs(wi_l.z), pdf_s)
 
             beta_new = beta * thr
+            # kill lanes whose throughput overflows f32 (compounded grazing
+            # delta bounces: f = R/|cos| per vertex) — an inf beta would NaN
+            # the whole accumulator at the next masked add via inf*0
+            ok = ok & (beta_new.max_component() < np.float32(np.inf))
             # bounce is static: no RR draw/update at all before rr_start
             # (fwd and bwd replay skip identically, keeping streams aligned)
             if bounce > cfg.rr_start:
@@ -3065,7 +3069,8 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
 
 def render_pallas(scene, spp: int = 16, seed: int = 1234,
                   cfg: KernelConfig | None = None, clamp: bool = True,
-                  rays_per_pass: int = 1 << 22, interpret: bool = False):
+                  rays_per_pass: int = 1 << 22, interpret: bool = False,
+                  tracer=None):
     """Full-frame render through the megakernel -> (H, W, 3) float32.
 
     Camera ray generation + jitter run as (cheap) XLA ops outside the
@@ -3083,7 +3088,8 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
 
     cfg = cfg or KernelConfig()
     use_sobol = cfg.sampler == "sobol"
-    tracer = make_pallas_tracer(scene, cfg, interpret)
+    if tracer is None:
+        tracer = make_pallas_tracer(scene, cfg, interpret)
     cam = scene.camera
     w, h = cam.width, cam.height
     npix = w * h

@@ -27,3 +27,20 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running golden/convergence tests")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of large CPU programs (interpret-mode
+    megakernels, gradient graphs) in one process; past ~half the suite the
+    XLA CPU backend aborts/segfaults inside backend_compile_and_load —
+    compiler-level resource exhaustion, not a test failure. Releasing the
+    executable cache between modules keeps the JIT arenas bounded; tests
+    only pay a recompile when they share shapes across modules (rare)."""
+    yield
+    jax.clear_caches()

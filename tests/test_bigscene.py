@@ -1,0 +1,231 @@
+"""Table-driven big-scene megakernel (kernels/bigscene.py).
+
+The table sweeps are pure jnp outside pallas_call, so they must agree
+EXACTLY with the SoA reference sweeps (kytpu/scene/shapes.py) and with the
+baked kernel's merged occlusion. The in-kernel assembly is covered by a
+same-draws comparison against the baked megakernel (identical RNG =>
+near-bitwise agreement) and a statistical comparison against the fast jnp
+integrator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kytpu.core import math as km
+from kytpu.kernels import bigscene as bs
+from kytpu.kernels import wavefront as wf
+from kytpu.kernels.v3 import V3
+from kytpu.scene import builders, shapes as kshapes
+from kytpu.scene import scene as kscene
+
+N = 4096
+
+
+@pytest.fixture(scope="module", params=["spheres", "cornell"])
+def scene(request):
+    if request.param == "spheres":
+        return builders.random_spheres(n=40, width=32, height=32, seed=0)
+    return builders.cornell_box(width=32, height=32)
+
+
+@pytest.fixture(scope="module")
+def rays(scene):
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (N, 2))
+    w, h = scene.camera.width, scene.camera.height
+    pid = jnp.arange(N, dtype=jnp.int32) % (w * h)
+    px = (pid % w).astype(jnp.float32) + u[:, 0]
+    py = (pid // w).astype(jnp.float32) + u[:, 1]
+    return kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+
+
+def _v3(a):
+    return V3(a[:, 0], a[:, 1], a[:, 2])
+
+
+def _table_refs(scene):
+    """The traced tables exactly as make_bigscene_tracer assembles them."""
+    static, tables = bs.extract_tables(scene)
+    counts = {k: tables[k][0].shape[0] for k in tables}
+    geo_cols = {"tri": bs.PLANAR_GEO_COLS, "rect": bs.PLANAR_GEO_COLS,
+                "disk": bs.DISK_GEO_COLS, "sphere": bs.SPHERE_GEO_COLS}
+    refs = []
+    for k in ("tri", "rect", "disk", "sphere"):
+        g = jnp.asarray(tables[k][0])
+        m = bs._mat_cols(scene, tables[k][1])
+        refs.append(jnp.concatenate([g, m], axis=-1) if g.shape[0]
+                    else jnp.zeros((bs.UNROLL, geo_cols[k] + bs.MAT_COLS),
+                                   jnp.float32))
+    return refs, counts
+
+
+def test_tables_closest_hit_matches(scene, rays):
+    o, d = rays
+    refs, counts = _table_refs(scene)
+    cy = bs._closest_hit_tables(refs, counts, _v3(o), _v3(d))
+    t_k = np.asarray(cy[0])
+    valid_k = np.isfinite(t_k)
+    t_r, sid_r, valid_r = kshapes.closest_hit(
+        scene.geometry, o, d, jnp.full((N,), jnp.inf))
+    agree = valid_k == np.asarray(valid_r)
+    assert agree.mean() > 0.999, agree.mean()
+    m = np.asarray(valid_r) & agree
+    np.testing.assert_allclose(t_k[m], np.asarray(t_r)[m], rtol=2e-5)
+    # carried material columns == the scene tables gathered by hit row
+    dif_k = np.stack([np.asarray(cy[4]), np.asarray(cy[5]),
+                      np.asarray(cy[6])], -1)
+    kind_k = np.asarray(cy[13])
+    sid = np.asarray(sid_r)[m]
+    np.testing.assert_allclose(dif_k[m], np.asarray(scene.mat_diffuse)[sid],
+                               atol=1e-6)
+    np.testing.assert_array_equal(kind_k[m].astype(np.int32),
+                                  np.asarray(scene.mat_kind)[sid])
+
+
+def test_tables_any_hit_matches_baked(scene, rays):
+    o, d = rays
+    refs, counts = _table_refs(scene)
+    static = wf.extract_static(scene)
+    # shading points: push each ray to its hit (or unit distance)
+    t_r, sid_r, valid_r = kshapes.closest_hit(
+        scene.geometry, o, d, jnp.full((N,), jnp.inf))
+    t = jnp.where(valid_r, t_r, 1.0)
+    hp = _v3(o + t[:, None] * d)
+    n = kshapes.surface_normal(scene.geometry, sid_r,
+                               o + t[:, None] * d, d)
+    n_shade = _v3(jnp.where(valid_r[:, None], n,
+                            jnp.zeros_like(n).at[:, 1].set(1.0)))
+    key = jax.random.key(7)
+    wi_a = _v3(km.normalize(jax.random.normal(key, (N, 3))))
+    wi_b = V3(-wi_a.x, wi_a.y, -wi_a.z)
+    tmax = jnp.full((N,), 3.0)
+    rays2 = [(wi_a, tmax), (wi_b, 0.5 * tmax)]
+    hit_tab = bs._any_hit_tables(refs, counts, hp, n_shade, rays2)
+    hit_bak = wf._any_hit_multi(static, hp, n_shade, rays2,
+                                skips=[(), ()])
+    for ht, hb in zip(hit_tab, hit_bak):
+        np.testing.assert_array_equal(np.asarray(ht), np.asarray(hb))
+
+
+def test_bigscene_matches_baked_same_draws():
+    """Same scene, same RNG stream: the table kernel and the baked kernel
+    agree lane-by-lane up to fp reassociation (rare decision-boundary
+    flips allowed)."""
+    scene = builders.random_spheres(n=24, width=24, height=24, seed=0)
+    cfg = wf.KernelConfig(max_depth=3, rows=8)
+    cam = scene.camera
+    npix = cam.width * cam.height
+    xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5
+    ys = (jnp.arange(npix) // cam.width).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(cam, jnp.stack([xs, ys], axis=-1))
+    big = bs.make_bigscene_tracer(scene, cfg, interpret=True)
+    baked = wf.make_pallas_tracer(scene, cfg, interpret=True)
+    lb = np.asarray(big(scene, o, d, 0))
+    lk = np.asarray(baked(scene, o, d, 0))
+    assert not np.isnan(lb).any()
+    assert np.abs(lb - lk).max() < 1e-3, np.abs(lb - lk).max()
+
+
+def test_bigscene_render_matches_fast():
+    """Statistical: interpret-mode table kernel vs the fast integrator."""
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.render import render
+
+    scene = builders.random_spheres(n=24, width=16, height=16, seed=0)
+    img_k = np.asarray(bs.render_bigscene(
+        scene, spp=48, seed=3, cfg=wf.KernelConfig(max_depth=3, rows=8),
+        interpret=True))
+    img_f = np.asarray(render(scene, spp=48, seed=5,
+                              cfg=FastConfig(max_depth=3)))
+    d4 = lambda a: a.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))  # noqa: E731
+    err = np.abs(d4(img_k) - d4(img_f)).mean()
+    assert err < 0.03, err
+
+
+def test_bigscene_grad_matches_fd():
+    """Path-replay backward of the table kernel vs central finite
+    differences of the SAME deterministic pallas forward."""
+    scene = builders.random_spheres(n=16, width=12, height=12, seed=0)
+    cfg = wf.KernelConfig(max_depth=3, rows=8)
+    tracer = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+
+    n = 144
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 12).astype(jnp.float32) + u[:, 0]
+    py = (pid // 12).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+
+    env0 = jnp.asarray(scene.env_radiance_)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
+
+    def loss(diffuse, specular, emission, env):
+        out = tracer(diffuse, specular, emission, env, o, d, seed)
+        return jnp.mean(out)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(*p0)
+    em = np.asarray(scene.emission)
+    light_row = int(np.argmax(em.sum(axis=1)))
+    probes = [(0, (0, 0)), (0, (3, 1)), (2, (light_row, 0)), (3, (2,))]
+    eps = 1e-2
+    for argi, idx in probes:
+        args_p = list(p0)
+        args_m = list(p0)
+        args_p[argi] = p0[argi].at[idx].add(eps)
+        args_m[argi] = p0[argi].at[idx].add(-eps)
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        ad = float(g[argi][idx])
+        assert np.isfinite(ad) and np.isfinite(fd), (argi, idx, ad, fd)
+        assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
+    assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
+
+
+def test_bigscene_grad_matches_baked():
+    """Same scene, same RNG stream: table-kernel gradients == baked-kernel
+    replay gradients (up to fp reassociation in the row reductions)."""
+    scene = builders.random_spheres(n=12, width=10, height=10, seed=1)
+    cfg = wf.KernelConfig(max_depth=2, rows=8)
+    big = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+    baked = wf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                       backward="replay")
+
+    n = 100
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 10).astype(jnp.float32) + 0.5
+    py = (pid // 10).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(3)
+    env0 = jnp.asarray(scene.env_radiance_)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission)
+
+    def loss_big(diffuse, specular, emission, env):
+        return jnp.mean(big(diffuse, specular, emission, env, o, d, seed))
+
+    def loss_bak(diffuse, specular, emission, env):
+        return jnp.mean(baked(diffuse, specular, emission, env, o, d, seed))
+
+    gb = jax.grad(loss_big, argnums=(0, 1, 2, 3))(*p0, env0)
+    gk = jax.grad(loss_bak, argnums=(0, 1, 2, 3))(*p0, env0)
+    # the baked kernel zeroes emission gradients of non-emitting rows
+    # (they are not trainable there); the table kernel reports the true
+    # linear coefficient — compare emission only on emitting rows
+    emit_rows = np.asarray(scene.emission).sum(axis=1) > 0
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gk[0]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gk[1]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[2])[emit_rows],
+                               np.asarray(gk[2])[emit_rows],
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gb[3]), np.asarray(gk[3]),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_bigscene_rejects_textured():
+    scene = builders.cornell_box(width=16, height=16, floor_checker=True)
+    with pytest.raises(NotImplementedError):
+        bs.extract_tables(scene)
