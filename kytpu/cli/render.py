@@ -179,6 +179,33 @@ def cmd_spheres(args):
     _save(args.out or "spheres.bmp", img)
 
 
+def cmd_trimesh(args):
+    """Triangle-mesh demo (scene/mesh.py, beyond parity): an icosphere,
+    torus, or loaded OBJ on a ground plane. With --engine pallas the scene
+    auto-routes to the table-driven big-scene megakernel past 64 faces."""
+    from kytpu.scene import mesh as kmesh
+    if args.obj:
+        v, f = kmesh.load_obj(args.obj)
+        label = args.obj
+    elif args.shape == "torus":
+        v, f = kmesh.torus(nu=2 * args.res, nv=args.res)
+        label = f"torus({2 * args.res}x{args.res})"
+    else:
+        v, f = kmesh.icosphere(args.sub)
+        label = f"icosphere({args.sub})"
+    scene = builders.mesh_scene(v, f, width=args.size,
+                                height=args.size * 2 // 3)
+    cfg = PathConfig(max_depth=args.depth, strategy="both_mis",
+                     sampler=args.sampler)
+    t0 = time.perf_counter()
+    img = _render(scene, args.spp, args.seed, cfg, mesh=args.mesh,
+                  mode="fast" if args.engine == "jnp" else "path",
+                  engine=args.engine)
+    print(f"{time.perf_counter() - t0:.3f} seconds, {len(f)} triangles "
+          f"({label}, engine={args.engine})")
+    _save(args.out or "trimesh.bmp", img)
+
+
 def cmd_mis(args):
     w = args.size
     h = args.size * 308 // 512
@@ -196,11 +223,11 @@ def main(argv=None):
     cmds = dict(single=cmd_single, debug=cmd_debug,
                 integrators=cmd_integrators, strategies=cmd_strategies,
                 scenes=cmd_scenes, mis=cmd_mis, textured=cmd_textured,
-                spheres=cmd_spheres)
+                spheres=cmd_spheres, trimesh=cmd_trimesh)
     defaults = dict(single=(1024, 16), debug=(512, 10),
                     integrators=(256, 16), strategies=(256, 16),
                     scenes=(256, 16), mis=(512, 10), textured=(512, 64),
-                    spheres=(512, 32))
+                    spheres=(512, 32), trimesh=(384, 24))
     for name, fn in cmds.items():
         sp = sub.add_parser(name)
         size0, spp0 = defaults[name]
@@ -230,6 +257,15 @@ def main(argv=None):
         if name == "spheres":
             sp.add_argument("--n", type=int, default=512,
                             help="sphere count (grid accel past 256)")
+        if name == "trimesh":
+            sp.add_argument("--shape", choices=("icosphere", "torus"),
+                            default="torus")
+            sp.add_argument("--sub", type=int, default=3,
+                            help="icosphere subdivisions (20*4^s faces)")
+            sp.add_argument("--res", type=int, default=24,
+                            help="torus tube segments (faces = 4*res^2)")
+            sp.add_argument("--obj", type=str, default=None,
+                            help="render a Wavefront OBJ file instead")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

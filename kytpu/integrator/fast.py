@@ -57,6 +57,10 @@ class FastConfig:
     unroll: int = 1
     sampler: str = "random"   # "random" | "debug"
     filter: str = "box"       # "box" | "tent" (smallpt's 2x2 tent filter)
+    # "parity" replicates the reference's shadow-ray self-occlusion quirk
+    # (see kytpu.scene.scene.occluded); "robust" measures the shadow tmax
+    # from the actual offset origin (physically correct)
+    shadow: str = "parity"    # "parity" | "robust"
 
 
 def _draws(keys, bounce, n_draws: int, sampler: str):
@@ -157,14 +161,24 @@ def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
                     & ~jnp.all(ls.li <= 0.0, axis=-1) \
                     & ~jnp.all(f_cos <= 0.0, axis=-1)
                 contribs.append((ok, f_cos * ls.li * w[:, None]))
-                sh_o.append(kshapes.offset_ray_origin(hit.position, hit.normal, wi))
+                o_i = kshapes.offset_ray_origin(hit.position, hit.normal, wi)
+                sh_o.append(o_i)
                 sh_d.append(wi)
-                sh_t.append(km.distance(hit.position, ls.position)
+                d_from = o_i if cfg.shadow == "robust" else hit.position
+                sh_t.append(km.distance(d_from, ls.position)
                             - km.SHADOW_EPSILON)
             oc_o = jnp.concatenate(sh_o, 0)
             oc_d = jnp.concatenate(sh_d, 0)
             oc_t = jnp.concatenate(sh_t, 0)
-            if scene.accel is not None:
+            if cfg.shadow == "robust":
+                # exclude each light's own emitting surface from its lanes
+                # of the stacked sweep (see kscene.occluded_from)
+                skip = jnp.concatenate(
+                    [jnp.full((n,), scene.lights.surface_ids[i], jnp.int32)
+                     for i in range(L)])
+                occ = kshapes.any_hit(scene.geometry, oc_o, oc_d, oc_t,
+                                      skip_row=skip).reshape(L, n)
+            elif scene.accel is not None:
                 from kytpu.scene import accel as kaccel
                 occ = kaccel.grid_any_hit(scene.accel, scene.geometry,
                                           oc_o, oc_d, oc_t).reshape(L, n)

@@ -66,6 +66,11 @@ class PathConfig:
     sampler: str = "random"   # "random" | "stratified" | "debug" | "sobol"
     strata: tuple = (1, 1)              # camera strata grid for "stratified"
     filter: str = "box"                 # "box" | "tent" (smallpt's 2x2 tent)
+    # "parity" replicates the reference's shadow-ray self-occlusion quirk
+    # (ky.cpp:3193 + 614, see kytpu.scene.scene.occluded); "robust" measures
+    # the shadow tmax from the actual offset origin (physically correct,
+    # deviates from reference renders)
+    shadow: str = "parity"              # "parity" | "robust"
 
 
 def _black(f):
@@ -128,7 +133,8 @@ def li_path(scene: kscene.Scene, o, d, keys, cfg: PathConfig, index=None):
         if use_nee:
             ld = knee.sample_all_lights(
                 scene, hit, params, k_nee, cont & ~delta,
-                cfg.strategy, cfg.light_selection, cfg.sampler, index)
+                cfg.strategy, cfg.light_selection, cfg.sampler, index,
+                cfg.shadow)
             big_l = big_l + beta * ld
 
         if spec_peek:
@@ -208,7 +214,7 @@ def li_direct_lighting(scene: kscene.Scene, o, d, keys, cfg: PathConfig,
     active = hit.valid & ~kbsdf.is_delta(params)
     ld = knee.sample_all_lights(scene, hit, params, k_nee, active,
                                 cfg.strategy, cfg.light_selection,
-                                cfg.sampler, index)
+                                cfg.sampler, index, cfg.shadow)
     return lo + ld
 
 

@@ -144,6 +144,14 @@ def extract_tables(scene):
         "disk": blk(disks, disk_rows, DISK_GEO_COLS),
         "sphere": blk(spheres, sph_rows, SPHERE_GEO_COLS),
     }
+    # global surface row -> (table kind, table row); lets the robust shadow
+    # mode skip a light's own geometry inside the table sweeps
+    table_of_row = {}
+    for name, rows in (("tri", tri_rows), ("rect", rect_rows),
+                       ("disk", disk_rows), ("sphere", sph_rows)):
+        for ti, row in enumerate(rows):
+            table_of_row[row] = (name, ti)
+    static["table_of_row"] = table_of_row
     return static, tables
 
 
@@ -312,19 +320,28 @@ def _closest_hit_tables(refs, counts, o: V3, d: V3):
     return carry
 
 
-def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
+def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
+                    robust: bool = False, own=None):
     """Merged K-ray occlusion over the tables (geometry columns only);
     the wavefront._any_hit_multi algebra with traced per-row scalars.
 
     The hit accumulators are fori_loop CARRIES, so they live as int32
     planes (Mosaic cannot materialize bool vectors); masks inside the body
-    stay compare-born. Returns K bool masks."""
+    stay compare-born. Returns K bool masks.
+
+    own: per-ray (table kind, table row) of the sampled light's own
+    geometry, or None — the robust shadow mode gates that row out of ray
+    k's sweep with a scalar loop-index compare."""
     tri_ref, rect_ref, disk_ref, sph_ref = refs
     eps = km.SHAPE_EPSILON
     K = len(rays)
     nd = [n_shade.dot(wi) for wi, _ in rays]
     se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
                     np.float32(km.RAY_OFFSET)) for k in range(K)]
+    if robust:
+        # KernelConfig(shadow="robust"): tmax from the actual offset origin
+        # (first-order; see wavefront._any_hit_multi)
+        rays = [(rays[k][0], rays[k][1] - se[k] * nd[k]) for k in range(K)]
     one = np.int32(1)
     hits = tuple(jnp.zeros(hp.x.shape, jnp.int32) for _ in range(K))
 
@@ -341,6 +358,7 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
             a_n = f1.dot(n_shade)
             b_h = f2.dot(hp) - ref[s, PG_K2]
             b_n = f2.dot(n_shade)
+            name = "tri" if tri else "rect"
             out = []
             for k in range(K):
                 wi, tmax = rays[k]
@@ -351,8 +369,11 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
                     inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
                 else:
                     inside = (a >= 0) & (a <= 1.0) & (b >= 0) & (b <= 1.0)
-                out.append(jnp.where(inside & (t > eps) & (t < tmax),
-                                     one, hs[k]))
+                h = inside & (t > eps) & (t < tmax)
+                if own is not None and own[k] is not None \
+                        and own[k][0] == name:
+                    h = h & (s != np.int32(own[k][1]))
+                out.append(jnp.where(h, one, hs[k]))
             return tuple(out)
         return body
 
@@ -372,8 +393,11 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
             o_k = hp + n_shade * se[k]
             rel = o_k + wi * t - p0
             inside = rel.length_squared() <= r2
-            out.append(jnp.where(inside & (t > eps) & (t < tmax),
-                                 one, hs[k]))
+            h = inside & (t > eps) & (t < tmax)
+            if own is not None and own[k] is not None \
+                    and own[k][0] == "disk":
+                h = h & (s != np.int32(own[k][1]))
+            out.append(jnp.where(h, one, hs[k]))
         return tuple(out)
 
     hits = _fori(counts["disk"], disk_body, hits)
@@ -396,8 +420,11 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays):
             t2 = neg_b + sq
             in1 = (t1 > eps) & (t1 < tmax)
             in2 = (t2 > eps) & (t2 < tmax)
-            out.append(jnp.where((discr >= 0) & (r > 0) & (in1 | in2),
-                                 one, hs[k]))
+            h = (discr >= 0) & (r > 0) & (in1 | in2)
+            if own is not None and own[k] is not None \
+                    and own[k][0] == "sphere":
+                h = h & (s != np.int32(own[k][1]))
+            out.append(jnp.where(h, one, hs[k]))
         return tuple(out)
 
     hits = _fori(counts["sphere"], sph_body, hits)
@@ -444,6 +471,15 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     has_delta = bool(lobes & {kbsdf.MIRROR, kbsdf.GLASS})
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
+    # robust shadow mode: per-light (table, row) of its own geometry
+    own_geo = None
+    if cfg.shadow == "robust":
+        li_of = static["mats"]["light_index"]
+        own_of_light = {}
+        for m, li in enumerate(li_of):
+            if li >= 0 and li not in own_of_light:
+                own_of_light[li] = static["table_of_row"].get(m)
+        own_geo = [own_of_light.get(i) for i in range(L)]
 
     def kernel(seed_ref, tri_ref, rect_ref, disk_ref, sph_ref,
                light_emit_ref, env_ref,
@@ -603,7 +639,8 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                                      azim) for lt in lights]
             occs = _any_hit_tables(
                 refs, counts, hp, nrm,
-                [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps])
+                [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
+                robust=(cfg.shadow == "robust"), own=own_geo)
             ld = v3_zeros(o.x)
             if grad:
                 # bounce-local color adjoints (every term of this bounce

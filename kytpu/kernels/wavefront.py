@@ -70,6 +70,13 @@ class KernelConfig:
     # shuffled+scrambled copy of the first two Sobol dimensions. Pure int
     # arithmetic, so interpret == TPU bitwise.
     sampler: str = "random"
+    # "parity" replicates the reference's shadow-ray self-occlusion quirk
+    # (tmax measured from the unoffset shading point, ky.cpp:3193 + 614 —
+    # see extract_static's NB and kytpu.scene.scene.occluded); "robust"
+    # shortens each NEE tmax by the origin offset's along-ray component so
+    # a light's own surface never occludes its own samples (physically
+    # correct; deviates from reference renders)
+    shadow: str = "parity"
     # Phong exponents become a traced SMEM table instead of baked
     # constants: the diff tracer takes an exponent argument and returns its
     # gradient (replay and residual backwards). Costs the _ipow
@@ -670,7 +677,7 @@ def _closest_hit(static, o: V3, d: V3):
 
 
 def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
-             skip_rows=()):
+             skip_rows=(), skip_light=None):
     """Baked-geometry occlusion test in (SHAPE_EPSILON, tmax).
 
     Boolean-only: the sphere test needs no stable-quadratic division — a
@@ -684,11 +691,21 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
     # mask born from a compare (not a bool literal tensor): Mosaic has no
     # i8->i1 truncation for materialized bool vectors
     hit = jnp.zeros_like(tmax) > 0.0
+    n_pl = len(static["planar"])
+    li_of = static["mats"]["light_index"]
+
+    def gate(row):
+        if skip_light is None or li_of[row] < 0:
+            return None
+        return skip_light != np.int32(li_of[row])
+
     for row, s in enumerate(static["planar"]):
         if row in skip_rows:
             continue
         t, inside = _planar_hit(s, o, d)
-        hit = hit | (inside & (t > km.SHAPE_EPSILON) & (t < tmax))
+        h = inside & (t > km.SHAPE_EPSILON) & (t < tmax)
+        g = gate(row)
+        hit = hit | (h if g is None else h & g)
     for j, s in enumerate(static["spheres"]):
         if j == skip_sphere:
             continue
@@ -703,11 +720,14 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
         t2 = neg_b + sq
         in1 = (t1 > km.SHAPE_EPSILON) & (t1 < tmax)
         in2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
-        hit = hit | ((discr >= 0) & (in1 | in2))
+        h = (discr >= 0) & (in1 | in2)
+        g = gate(n_pl + j)
+        hit = hit | (h if g is None else h & g)
     return hit
 
 
-def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips):
+def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips,
+                   robust: bool = False, sphere_skips=None):
     """K-ray occlusion: all NEE shadow rays of one bounce leave the SAME
     shading point hp (offset +-RAY_OFFSET along n_shade by each ray's
     n.d sign, ky.cpp:614), so every per-surface term that depends only on
@@ -725,6 +745,11 @@ def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips):
     nd = [n_shade.dot(wi) for wi, _ in rays]
     se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
                     np.float32(km.RAY_OFFSET)) for k in range(K)]
+    if robust:
+        # measure tmax from the actual offset origin: |q - o'| =~
+        # dist - se*(n.wi) to first order (the dropped se^2 term is far
+        # inside the 2e-3 shadow epsilon)
+        rays = [(rays[k][0], rays[k][1] - se[k] * nd[k]) for k in range(K)]
     hits = [rays[k][1] < rays[k][1] - 1.0 for k in range(K)]  # false masks
     o_k = None   # per-ray origins, built lazily for the non-fast fallback
 
@@ -769,13 +794,17 @@ def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips):
             hits[k] = hits[k] | (inside & (t > eps) & (t < tmax))
 
     off2 = np.float32(km.RAY_OFFSET * km.RAY_OFFSET)
-    for s in static["spheres"]:
+    for j, s in enumerate(static["spheres"]):
+        which_s = [k for k in range(K)
+                   if sphere_skips is None or j not in sphere_skips[k]]
+        if not which_s:
+            continue
         c = _cv3(s["c"])
         r = np.float32(s["r"])
         vc = c - hp
         vc2 = vc.length_squared()
         vcn = vc.dot(n_shade)
-        for k in range(K):
+        for k in which_s:
             wi, tmax = rays[k]
             neg_b = vc.dot(wi) - se[k] * nd[k]
             oc2 = vc2 - 2.0 * se[k] * vcn + off2   # |n_shade| == 1
@@ -1509,6 +1538,27 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         li = mats["light_index"][m]
         if li >= 0 and li not in light_row:
             light_row[li] = m
+    # robust shadow mode: statically drop each light's OWN geometry from its
+    # NEE occlusion rays (a convex emitter can never legitimately occlude
+    # its own near-side samples; under parity it spuriously does, see
+    # extract_static's NB). Free at runtime — pruned rows just vanish from
+    # the unrolled sweep.
+    n_pl = len(static["planar"])
+    if cfg.shadow == "robust":
+        occl_skips, sph_skips = [], []
+        for i in range(L):
+            rows = set(static["occl_skip"][i])
+            ss = set()
+            r = light_row.get(i, -1)
+            if 0 <= r < n_pl:
+                rows.add(r)
+            elif r >= n_pl:
+                ss.add(r - n_pl)
+            occl_skips.append(frozenset(rows))
+            sph_skips.append(frozenset(ss))
+    else:
+        occl_skips = static["occl_skip"]
+        sph_skips = None
     if residual:
         res_ix, res_n = _residual_layout(static, cfg)
 
@@ -1898,11 +1948,15 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     & (ucos != 0.0) & ~color.is_black()
                 # light identity is dynamic here: only rows skippable for
                 # EVERY light can be pruned from the shared sweep
-                occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi,
-                               dist - km.SHADOW_EPSILON,
+                tm = dist - km.SHADOW_EPSILON
+                if cfg.shadow == "robust":
+                    tm = tm - np.float32(km.RAY_OFFSET) * jnp.abs(nrm.dot(wi))
+                occ = _any_hit(static, _offset_origin(hp, nrm, wi), wi, tm,
                                skip_rows=frozenset.intersection(
                                    *[frozenset(s)
-                                     for s in static["occl_skip"]]))
+                                     for s in static["occl_skip"]]),
+                               skip_light=(pick if cfg.shadow == "robust"
+                                           else None))
                 okf = jnp.where(ok & ~occ, w * np.float32(L), 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 ld = col_nee_tbl * emit_l * bp
@@ -1967,7 +2021,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 occs = _any_hit_multi(
                     static, hp, nrm,
                     [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
-                    static["occl_skip"])
+                    occl_skips, robust=(cfg.shadow == "robust"),
+                    sphere_skips=sph_skips)
                 for i, lt in enumerate(lights):
                     ld = ld + nee_light(i, lt, smps[i], occs[i],
                                         np.float32(1.0))

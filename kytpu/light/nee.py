@@ -79,8 +79,13 @@ def _estimate_by_bsdf(scene, i, hit, params, u_bsdf, active, mis: bool):
     return jnp.where(ok[:, None], ld, 0.0)
 
 
-def _estimate_by_emitter(scene, i, hit, params, u_light, active, mis: bool):
-    """Light-sampled direct light for light i (ky.cpp:3933-3962 / 4035-4074)."""
+def _estimate_by_emitter(scene, i, hit, params, u_light, active, mis: bool,
+                         shadow: str = "parity"):
+    """Light-sampled direct light for light i (ky.cpp:3933-3962 / 4035-4074).
+
+    shadow="parity" replicates the reference's self-occlusion quirk
+    (tmax measured from the unoffset point, see kscene.occluded);
+    "robust" measures tmax from the actual offset ray origin."""
     kind = scene.lights.kinds[i]
     ls = klights.sample_li(scene.lights, i, scene.world_radius,
                            hit.position, hit.normal, u_light)
@@ -88,8 +93,15 @@ def _estimate_by_emitter(scene, i, hit, params, u_light, active, mis: bool):
     pdf_l = _sg(ls.pdf)
     ok = active & ~_black(ls.li) & (pdf_l > 0.0)
 
-    dist = km.distance(hit.position, ls.position)
-    shadowed = kscene.occluded(scene, hit.position, hit.normal, wi, dist)
+    if shadow == "robust":
+        o = kshapes.offset_ray_origin(hit.position, hit.normal, wi)
+        dist = km.distance(o, ls.position)
+        shadowed = kscene.occluded_from(scene, o, wi,
+                                        dist - km.SHADOW_EPSILON,
+                                        skip_row=scene.lights.surface_ids[i])
+    else:
+        dist = km.distance(hit.position, ls.position)
+        shadowed = kscene.occluded(scene, hit.position, hit.normal, wi, dist)
     ok = ok & ~shadowed
 
     f_cos = kbsdf.eval_world(params, hit.normal, hit.wo, wi) \
@@ -105,17 +117,19 @@ def _estimate_by_emitter(scene, i, hit, params, u_light, active, mis: bool):
 
 
 def _estimate_one_light(scene, i, hit, params, u_light, u_bsdf, active,
-                        strategy: str):
+                        strategy: str, shadow: str = "parity"):
     if strategy == "idle":
         return jnp.zeros_like(hit.position)
     if strategy == "bsdf":
         return _estimate_by_bsdf(scene, i, hit, params, u_bsdf, active, False)
     if strategy == "light":
-        return _estimate_by_emitter(scene, i, hit, params, u_light, active, False)
+        return _estimate_by_emitter(scene, i, hit, params, u_light, active,
+                                    False, shadow)
     if strategy == "bsdf_mis":
         return _estimate_by_bsdf(scene, i, hit, params, u_bsdf, active, True)
     if strategy == "light_mis":
-        return _estimate_by_emitter(scene, i, hit, params, u_light, active, True)
+        return _estimate_by_emitter(scene, i, hit, params, u_light, active,
+                                    True, shadow)
     if strategy == "both_mis":
         # Replicated reference QUIRK: for delta lights Lb is identically 0
         # (ky.cpp:3889-3892) yet the 0.5/0.5 combination still applies, so
@@ -124,14 +138,15 @@ def _estimate_one_light(scene, i, hit, params, u_light, u_bsdf, active,
         # corrects this in the production path.
         # The reference passes the SAME draws to both halves (ky.cpp:4081-4082)
         lb = _estimate_by_bsdf(scene, i, hit, params, u_bsdf, active, True)
-        ll = _estimate_by_emitter(scene, i, hit, params, u_light, active, True)
+        ll = _estimate_by_emitter(scene, i, hit, params, u_light, active,
+                                  True, shadow)
         return 0.5 * lb + 0.5 * ll
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def sample_all_lights(scene, hit, params, keys, active, strategy: str,
                       light_selection: str = "all", sampler: str = "random",
-                      index=None):
+                      index=None, shadow: str = "parity"):
     """Direct lighting at the hit wavefront. Returns (N,3).
 
     `active` must already mask out misses and (for skip-specular semantics)
@@ -152,7 +167,7 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
         for i in range(n_lights):
             contrib = _estimate_one_light(
                 scene, i, hit, params, u_light, u_bsdf,
-                active & (idx == i), strategy)
+                active & (idx == i), strategy, shadow)
             ld = ld + contrib
         return ld * float(n_lights)
 
@@ -163,5 +178,5 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
         u_light = krng.uniform2(k_l, sampler, index)
         u_bsdf = krng.uniform2(k_b, sampler, index)
         ld = ld + _estimate_one_light(
-            scene, i, hit, params, u_light, u_bsdf, active, strategy)
+            scene, i, hit, params, u_light, u_bsdf, active, strategy, shadow)
     return ld

@@ -559,3 +559,75 @@ def random_spheres(n: int = 100, width: int = 256, height: int = 256,
         position=(0.0, 0.58 * half, 1.83 * half), front=(0.0, -0.28, -1.0),
         up=(0.0, 1.0, 0.0), fov_degrees=55.0, width=width, height=height)
     return a.build(cam, accel=accel)
+
+
+def mesh_scene(verts, faces, material: dict | None = None,
+               width: int = 256, height: int = 256, ground: bool = True,
+               light_scale: float = 1.0,
+               accel: str | None = "auto") -> kscene.Scene:
+    """A triangle mesh on a ground plane under a sphere light + dim sky.
+
+    Beyond parity (the reference has no mesh path; its triangle_t is placed
+    one at a time, ky.cpp:1165-1242). (verts, faces) come from
+    `scene/mesh.py` (icosphere/torus/load_obj) or any (V, 3)/(F, 3) pair
+    with outward CCW winding. Each face becomes one one-sided triangle
+    surface row, so the scene works in every engine: the chunked jnp
+    sweeps at any size and the table-driven big-scene megakernel
+    (kernels/bigscene.py) past 64 surfaces. Degenerate (zero-area) faces
+    are dropped. The camera auto-frames the mesh bounds.
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    if faces.size == 0:
+        raise ValueError("mesh_scene: empty face list")
+    m = _SceneAssembler
+    a = _SceneAssembler()
+    g = a.geo
+    mat = m.plastic(jnp.asarray([0.20, 0.22, 0.26]),
+                    jnp.asarray([0.5, 0.5, 0.5]), 64.0) \
+        if material is None else material
+
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    c = 0.5 * (lo + hi)
+    extent = float(np.linalg.norm(hi - lo))
+    extent = extent if extent > 0 else 1.0
+
+    tri = verts[faces]                                    # (F, 3, 3)
+    area2 = np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    kept = 0
+    for f in range(len(faces)):
+        if area2[f] <= 1e-12 * extent * extent:
+            continue                                      # degenerate face
+        a.surface(g.add_triangle(tri[f, 0], tri[f, 1], tri[f, 2]), mat)
+        kept += 1
+    if kept == 0:
+        raise ValueError("mesh_scene: every face was degenerate")
+
+    if ground:
+        half = 2.5 * extent
+        y0 = float(lo[1])
+        a.surface(g.add_rectangle((c[0] - half, y0, c[2] - half),
+                                  (c[0] - half, y0, c[2] + half),
+                                  (c[0] + half, y0, c[2] + half),
+                                  (c[0] + half, y0, c[2] - half)),
+                  m.matte(jnp.full(3, 0.6)))
+
+    emit = jnp.full(3, 28.0 * float(light_scale))
+    c_l = (float(c[0] - 0.7 * extent), float(hi[1] + 1.4 * extent),
+           float(c[2] + 0.5 * extent))
+    r_l = 0.25 * extent
+    slot = a.add_light(kind=klights.AREA_SPHERE, emit=emit,
+                       center=np.asarray(c_l), radius=r_l,
+                       surface_handle=None)
+    h = a.surface(g.add_sphere(c_l, r_l), m.matte(jnp.zeros(3)),
+                  emission=emit, light_slot=slot)
+    a._lights[slot]["surface_handle"] = h
+    a.add_light(kind=klights.ENV, emit=jnp.asarray([0.12, 0.14, 0.20]))
+
+    cam = kscene.make_camera(
+        position=(c[0], c[1] + 0.45 * extent, c[2] + 1.35 * extent),
+        front=(0.0, -0.3, -1.0), up=(0.0, 1.0, 0.0),
+        fov_degrees=45.0, width=width, height=height)
+    return a.build(cam, accel=accel)

@@ -191,13 +191,34 @@ def intersect(scene: Scene, o, d, tmax=None) -> Hit:
 
 def occluded(scene: Scene, position, normal, direction, dist):
     """Shadow query from a surface point (ky.cpp:3187-3206): offset origin,
-    tmax = dist - 2e-3."""
+    tmax = dist - 2e-3.
+
+    Reference QUIRK (replicated for pixel parity): `dist` is measured from
+    the UNOFFSET shading point while the ray traces from the offset origin
+    (ky.cpp:614 + 3193), so the sampled light's own surface re-enters the
+    [eps, dist - 2e-3] window whenever RAY_OFFSET*cos(theta) > 2e-3 — the
+    light-sampled estimator self-occludes on surfaces facing the light
+    frontally (n.wi > ~0.2). PathConfig/FastConfig/KernelConfig
+    `shadow="robust"` opts out via `occluded_from` below."""
     o = kshapes.offset_ray_origin(position, normal, direction)
     tmax = dist - km.SHADOW_EPSILON
     if scene.accel is not None:
         return kaccel.grid_any_hit(scene.accel, scene.geometry, o,
                                    direction, tmax)
     return kshapes.any_hit(scene.geometry, o, direction, tmax)
+
+
+def occluded_from(scene: Scene, o, direction, tmax, skip_row=None):
+    """Shadow query with the caller's origin/tmax (the robust shadow mode:
+    tmax measured from the actual offset origin AND the sampled light's own
+    surface row excluded via skip_row, so a light can never self-occlude
+    its NEE samples). The grid accelerator has no row exclusion, so robust
+    shadow rays always use the SoA sweeps (shadow rays are a minority of a
+    bounce's work; the grid is opt-in and measured slower anyway)."""
+    if skip_row is None and scene.accel is not None:
+        return kaccel.grid_any_hit(scene.accel, scene.geometry, o,
+                                   direction, tmax)
+    return kshapes.any_hit(scene.geometry, o, direction, tmax, skip_row)
 
 
 def spawn_ray(position, normal, direction):

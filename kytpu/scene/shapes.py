@@ -399,31 +399,53 @@ def closest_hit(geom: Geometry, o, d, tmax):
     return t_best, sid, valid
 
 
-def _scan_any(chunks, intersect, o, d, tmax, hit):
-    def body(carry, ch):
+def _scan_any(chunks, intersect, o, d, tmax, hit, base, skip_row):
+    n_chunks = next(iter(chunks.values())).shape[0]
+    bases = base + jnp.arange(n_chunks, dtype=jnp.int32) * _SWEEP_CHUNK
+
+    def body(carry, xs):
+        ch_base, ch = xs
         _, acc = intersect(_GeomView(**ch), o, d, tmax)
+        if skip_row is not None:
+            rows = ch_base + jnp.arange(_SWEEP_CHUNK, dtype=jnp.int32)
+            acc = acc & (rows[None, :] != skip_row[:, None])
         return carry | jnp.any(acc, axis=1), None
 
-    hit, _ = jax.lax.scan(body, hit, chunks)
+    hit, _ = jax.lax.scan(body, hit, (bases, chunks))
     return hit
 
 
-def any_hit(geom: Geometry, o, d, tmax):
-    """Occlusion query: does ANY surface hit in (eps, tmax)? (N,) bool."""
+def any_hit(geom: Geometry, o, d, tmax, skip_row=None):
+    """Occlusion query: does ANY surface hit in (eps, tmax)? (N,) bool.
+
+    skip_row: optional global surface row(s) to exclude — a python int or an
+    (N,) int32 array (per-lane). Used by the robust shadow mode to exclude
+    a light's own emitting surface from its NEE occlusion sweep; -1 entries
+    skip nothing.
+    """
+    if skip_row is not None:
+        skip_row = jnp.broadcast_to(jnp.asarray(skip_row, jnp.int32),
+                                    (o.shape[0],))
     hit = jnp.zeros(o.shape[0], dtype=bool)
     if geom.n_planar + geom.n_sphere > 2 * _SWEEP_CHUNK:
         if geom.n_planar:
             hit = _scan_any(_planar_chunks(geom), intersect_planar,
-                            o, d, tmax, hit)
+                            o, d, tmax, hit, 0, skip_row)
         if geom.n_sphere:
             hit = _scan_any(_sphere_chunks(geom), intersect_sphere,
-                            o, d, tmax, hit)
+                            o, d, tmax, hit, geom.n_planar, skip_row)
         return hit
     if geom.n_planar:
         _, ap = intersect_planar(geom, o, d, tmax)
+        if skip_row is not None:
+            rows = jnp.arange(geom.n_planar, dtype=jnp.int32)
+            ap = ap & (rows[None, :] != skip_row[:, None])
         hit = hit | jnp.any(ap, axis=1)
     if geom.n_sphere:
         _, asp = intersect_sphere(geom, o, d, tmax)
+        if skip_row is not None:
+            rows = geom.n_planar + jnp.arange(geom.n_sphere, dtype=jnp.int32)
+            asp = asp & (rows[None, :] != skip_row[:, None])
         hit = hit | jnp.any(asp, axis=1)
     return hit
 
