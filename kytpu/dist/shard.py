@@ -125,7 +125,7 @@ def render_tiles(scene, mesh: Mesh, **kw):
 
 def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
                           kernel_cfg=None, clamp: bool = True,
-                          interpret: bool = False):
+                          interpret: bool = False, engine: str = "auto"):
     """Sharded render through the fused Pallas megakernel.
 
     Same ("tile", "spp") decomposition as render_sharded — pixels sharded
@@ -140,12 +140,31 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     single-device render_pallas up to f32 reduction order) — except under
     nee="single", whose scalar per-tile light pick depends on the tile
     decomposition.
+
+    engine: "pallas" (the baked-geometry megakernel), "bigscene" (the
+    table-driven megakernel, O(1) compile in the surface count), or
+    "auto" — bigscene past 64 surfaces when the scene is table-eligible,
+    matching integrator.render's routing. Both tracers share the lane
+    signature, so the mesh decomposition is identical.
     """
     from kytpu.kernels import wavefront as kwf
     from kytpu.scene import scene as kscene_mod
 
     cfg = kernel_cfg or kwf.KernelConfig()
-    tracer = kwf.make_pallas_tracer(scene, cfg, interpret=interpret)
+    if engine == "auto":
+        engine = "pallas"
+        if int(scene.mat_kind.shape[0]) > 64:
+            from kytpu.kernels import bigscene as kbig
+            try:
+                kbig.extract_tables(scene)
+                engine = "bigscene"
+            except NotImplementedError:
+                pass
+    if engine == "bigscene":
+        from kytpu.kernels import bigscene as kbig
+        tracer = kbig.make_bigscene_tracer(scene, cfg, interpret=interpret)
+    else:
+        tracer = kwf.make_pallas_tracer(scene, cfg, interpret=interpret)
     cam = scene.camera
     w, h = cam.width, cam.height
     npix = w * h

@@ -146,8 +146,11 @@ def render(scene, spp: int = 16, seed: int = 1234,
         if isinstance(cfg, kwf.KernelConfig):
             kcfg = cfg
         else:
-            kcfg = kwf.KernelConfig(max_depth=getattr(cfg, "max_depth", 5),
-                                    shadow=getattr(cfg, "shadow", "parity"))
+            kcfg = kwf.KernelConfig(
+                max_depth=getattr(cfg, "max_depth", 5),
+                sampler=("sobol" if getattr(cfg, "sampler", "") == "sobol"
+                         else "random"),
+                shadow=getattr(cfg, "shadow", "parity"))
         return kbig.render_bigscene(scene, spp=spp, seed=seed, cfg=kcfg,
                                     clamp=clamp,
                                     rays_per_pass=rays_per_pass)

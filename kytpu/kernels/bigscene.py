@@ -26,9 +26,12 @@ Transport is the same single-sample-MIS estimator as the baked kernel
 (emission MIS-weighted against the light pdf of the ray that found it,
 per-light NEE with the merged multi-ray occlusion sweep, iteration-rule
 Russian roulette, ky.cpp:4523-4618 semantics), so it converges to the
-same image as the jnp engines and the baked kernel. Forward-only, random
-sampler, no textures (those scenes route to the baked kernel or the jnp
-engines).
+same image as the jnp engines and the baked kernel. Differentiable
+(make_bigscene_diff_tracer: path-replay backward with hit-row-tagged
+adjoint planes segment-summed on the host graph) and sampler-complete
+(random hw-PRNG or the in-kernel Owen-Sobol lanes of the baked kernel,
+cfg.sampler="sobol"). No textures (textured scenes route to the baked
+kernel or the jnp engines).
 
 Measured (v5e, random_spheres, depth 3, 1M lanes): see BASELINE.md — the
 jnp chunked sweep does 0.41 Mrays/s at 1026 surfaces; this kernel's
@@ -471,6 +474,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     has_delta = bool(lobes & {kbsdf.MIRROR, kbsdf.GLASS})
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
+    use_sobol = cfg.sampler == "sobol"
     # robust shadow mode: per-light (table, row) of its own geometry
     own_geo = None
     if cfg.shadow == "robust":
@@ -486,11 +490,21 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                *out_refs):
         refs = (tri_ref, rect_ref, disk_ref, sph_ref)
+        out_refs = list(out_refs)
+        if use_sobol:
+            # per-lane sample-index / pixel-id planes precede the outputs
+            si_ref = out_refs.pop(0)
+            pix_ref = out_refs.pop(0)
         pid = pl.program_id(0)
         tile_seed = seed_ref[0] + pid * np.int32(2654435761 & 0x7fffffff)
-        if hw_rng:
-            pltpu.prng_seed(tile_seed)
-        rng = wf._Rng(tile_seed, hw_rng)
+        if use_sobol:
+            rng = wf._Rng(tile_seed, False,
+                          sobol=(si_ref[:],
+                                 wf._pix_hash(pix_ref[:], seed_ref[0])))
+        else:
+            if hw_rng:
+                pltpu.prng_seed(tile_seed)
+            rng = wf._Rng(tile_seed, hw_rng)
 
         if grad:
             # (gx gy gz flx fly flz) inputs precede the two outputs
@@ -782,10 +796,16 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
     host constants of the table arrays; the material columns are traced
     (gathered from scene.mat_* per call), so parameter updates reuse the
     compile. One Mosaic compile per (geometry digest, cfg) — compile time
-    is O(1) in the surface count (fori_loop sweeps)."""
+    is O(1) in the surface count (fori_loop sweeps).
+
+    With cfg.sampler == "sobol" the signature gains two (N,) int32 lane
+    arrays — fn(scene, o, d, seed, sample_index, pixel_id) — with the same
+    fixed-seed / advancing-sample-index accumulation convention as the
+    baked kernel (wavefront.make_pallas_tracer)."""
     cfg = cfg or wf.KernelConfig()
-    if cfg.sampler != "random":
-        raise NotImplementedError("bigscene kernel: sampler='random' only")
+    if cfg.sampler not in ("random", "sobol"):
+        raise NotImplementedError(
+            "bigscene kernel: sampler must be 'random' or 'sobol'")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
@@ -807,9 +827,10 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
         g.shape[0] * (g.shape[1] + MAT_COLS) * 4 for g in geo_np.values())
     table_space = pltpu.SMEM if total_bytes <= SMEM_TABLE_LIMIT \
         else pltpu.VMEM
+    use_sobol = cfg.sampler == "sobol"
 
     @jax.jit
-    def trace(scene, o, d, seed):
+    def trace(scene, o, d, seed, si=None, pix=None):
         n = o.shape[0]
         tile = cfg.rows * LANE
         npad = ((n + tile - 1) // tile) * tile
@@ -820,6 +841,12 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
             return [jnp.concatenate([v[:, i], pad])
                     .reshape(grid * cfg.rows, LANE) for i in range(3)]
 
+        def iplane(v):
+            pad = jnp.zeros((npad - n,), jnp.int32)
+            return jnp.concatenate([v.astype(jnp.int32), pad]) \
+                .reshape(grid * cfg.rows, LANE)
+
+        extra = [iplane(si), iplane(pix)] if use_sobol else []
         ox, oy, oz = planes(o)
         dx, dy, dz = planes(d)
         tabs = []
@@ -844,12 +871,12 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
             kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
-               blk, blk, blk, blk, blk, blk],
+               blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
-        )(seed_arr, *tabs, light_emit, env, ox, oy, oz, dx, dy, dz)
+        )(seed_arr, *tabs, light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
@@ -872,10 +899,16 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     matmul per backward — per-row VMEM accumulators would need
     3*M*rows*LANE*4 bytes and die past ~100 rows). NEE light-emission
     adjoints are routed to each light's emitting surface row exactly as
-    diff.params.set_params ties them."""
+    diff.params.set_params ties them.
+
+    With cfg.sampler == "sobol" the returned fn takes two extra (N,) int32
+    arrays (sample_index, pixel_id) after `seed`; they are
+    nondifferentiable and must be identical between forward and backward
+    (the replay backward re-draws the same Owen-Sobol stream from them)."""
     cfg = cfg or wf.KernelConfig()
-    if cfg.sampler != "random":
-        raise NotImplementedError("bigscene kernel: sampler='random' only")
+    if cfg.sampler not in ("random", "sobol"):
+        raise NotImplementedError(
+            "bigscene kernel: sampler must be 'random' or 'sobol'")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
@@ -935,10 +968,19 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         npad = ((n + tile - 1) // tile) * tile
         return npad, npad // tile
 
+    use_sobol = cfg.sampler == "sobol"
+
     def _planes(v, n, npad, rows):
         pad = jnp.zeros((npad - n,), jnp.float32)
         return [jnp.concatenate([v[:, i], pad]).reshape(rows, LANE)
                 for i in range(3)]
+
+    def _iplanes(si, pix, n, npad, rows):
+        if not use_sobol:
+            return []
+        pad = jnp.zeros((npad - n,), jnp.int32)
+        return [jnp.concatenate([v.astype(jnp.int32), pad])
+                .reshape(rows, LANE) for v in (si, pix)]
 
     def _specs(grid):
         blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
@@ -950,21 +992,24 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         return blk, smem, tab_spec
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, env, o, d, seed):
-        return _fwd_impl(diffuse, specular, emission, env, o, d, seed)
+    def trace(diffuse, specular, emission, env, o, d, seed,
+              si=None, pix=None):
+        return _fwd_impl(diffuse, specular, emission, env, o, d, seed,
+                         si, pix)
 
-    def _fwd_impl(diffuse, specular, emission, env, o, d, seed):
+    def _fwd_impl(diffuse, specular, emission, env, o, d, seed, si, pix):
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
         blk, smem, tab_spec = _specs(grid)
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
+        extra = _iplanes(si, pix, n, npad, rows)
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
-               blk, blk, blk, blk, blk, blk],
+               blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                        for _ in range(3)],
@@ -972,16 +1017,19 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
           *_tabs(diffuse, specular, emission),
           _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz)
+          ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
-    def _fwd(diffuse, specular, emission, env, o, d, seed):
-        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed)
-        return big_l, (diffuse, specular, emission, env, o, d, seed, big_l)
+    def _fwd(diffuse, specular, emission, env, o, d, seed,
+             si=None, pix=None):
+        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed,
+                          si, pix)
+        return big_l, (diffuse, specular, emission, env, o, d, seed,
+                       si, pix, big_l)
 
     def _bwd(res, g):
-        diffuse, specular, emission, env, o, d, seed, big_l = res
+        diffuse, specular, emission, env, o, d, seed, si, pix, big_l = res
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
@@ -990,6 +1038,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         dx, dy, dz = _planes(d, n, npad, rows)
         gx, gy, gz = _planes(g, n, npad, rows)
         flx, fly, flz = _planes(big_l, n, npad, rows)
+        extra = _iplanes(si, pix, n, npad, rows)
 
         def stk(nplanes):
             return pl.BlockSpec((nplanes, cfg.rows, LANE),
@@ -1000,8 +1049,8 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
             bwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
-               blk, blk, blk, blk, blk, blk,
-               blk, blk, blk, blk, blk, blk],
+               blk, blk, blk, blk, blk, blk] + [blk] * len(extra)
+            + [blk, blk, blk, blk, blk, blk],
             out_specs=[stk(P), stk(B + 1)],
             out_shape=[jax.ShapeDtypeStruct((P, rows, LANE), jnp.float32),
                        jax.ShapeDtypeStruct((B + 1, rows, LANE), jnp.int32)],
@@ -1009,7 +1058,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
           *_tabs(diffuse, specular, emission),
           _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz, gx, gy, gz, flx, fly, flz)
+          ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
         dout = dout.reshape(P, -1)[:, :n]           # (P, n)
         sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n), 0 = miss
 
@@ -1031,7 +1080,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                 de = de.at[r].add(dle)
             elif i < len(light_kinds) and light_kinds[i] == klights.ENV:
                 denv = denv + dle
-        return dd, ds, de, denv, None, None, None
+        return dd, ds, de, denv, None, None, None, None, None
 
     trace.defvjp(_fwd, _bwd)
     _TRACER_MEMO[memo_key] = trace

@@ -229,3 +229,66 @@ def test_bigscene_rejects_textured():
     scene = builders.cornell_box(width=16, height=16, floor_checker=True)
     with pytest.raises(NotImplementedError):
         bs.extract_tables(scene)
+
+
+def test_bigscene_sobol_matches_baked_same_draws():
+    """In-kernel Owen-Sobol: the table kernel and the baked kernel draw
+    identical (0,2)-streams from the same (seed, sample index, pixel id),
+    so they agree lane-by-lane like the PRNG mode does."""
+    scene = builders.random_spheres(n=24, width=24, height=24, seed=0)
+    cfg = wf.KernelConfig(max_depth=3, rows=8, sampler="sobol")
+    cam = scene.camera
+    npix = cam.width * cam.height
+    xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5
+    ys = (jnp.arange(npix) // cam.width).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(cam, jnp.stack([xs, ys], axis=-1))
+    pid = jnp.arange(npix, dtype=jnp.int32)
+    si = jnp.zeros(npix, jnp.int32)
+    big = bs.make_bigscene_tracer(scene, cfg, interpret=True)
+    baked = wf.make_pallas_tracer(scene, cfg, interpret=True)
+    lb = np.asarray(big(scene, o, d, 0, si, pid))
+    lk = np.asarray(baked(scene, o, d, 0, si, pid))
+    assert not np.isnan(lb).any()
+    assert np.abs(lb - lk).max() < 1e-3, np.abs(lb - lk).max()
+    # a different sample index must change the stream
+    lb2 = np.asarray(big(scene, o, d, 0, si + 1, pid))
+    assert np.abs(lb2 - lb).max() > 1e-4
+
+
+def test_bigscene_sobol_grad_matches_fd():
+    """Sobol replay backward: gradients vs central finite differences of
+    the same deterministic (fixed si/pix) pallas forward."""
+    scene = builders.random_spheres(n=16, width=12, height=12, seed=0)
+    cfg = wf.KernelConfig(max_depth=3, rows=8, sampler="sobol")
+    tracer = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+
+    n = 144
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 12).astype(jnp.float32) + 0.5
+    py = (pid // 12).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    si = jnp.zeros(n, jnp.int32)
+
+    env0 = jnp.asarray(scene.env_radiance_)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
+
+    def loss(diffuse, specular, emission, env):
+        out = tracer(diffuse, specular, emission, env, o, d, seed, si, pid)
+        return jnp.mean(out)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(*p0)
+    em = np.asarray(scene.emission)
+    light_row = int(np.argmax(em.sum(axis=1)))
+    probes = [(0, (0, 0)), (0, (3, 1)), (2, (light_row, 0)), (3, (2,))]
+    eps = 1e-2
+    for argi, idx in probes:
+        args_p = list(p0)
+        args_m = list(p0)
+        args_p[argi] = p0[argi].at[idx].add(eps)
+        args_m[argi] = p0[argi].at[idx].add(-eps)
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        ad = float(g[argi][idx])
+        assert np.isfinite(ad) and np.isfinite(fd), (argi, idx, ad, fd)
+        assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
+    assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)

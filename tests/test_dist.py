@@ -100,3 +100,28 @@ def test_sharded_pallas_sobol_mesh_invariant(scene):
     single = np.asarray(wf.render_pallas(scene, spp=4, seed=9, cfg=cfg,
                                          interpret=True))
     np.testing.assert_allclose(imgs[0], single, atol=2e-5)
+
+
+def test_sharded_bigscene_render():
+    """Table-driven megakernel inside shard_map: auto-routed past 64
+    surfaces; sobol mode stays mesh-invariant and matches the
+    single-device table-kernel render."""
+    import numpy as np
+    from kytpu.dist import render_sharded_pallas
+    from kytpu.kernels import bigscene as bs
+    from kytpu.kernels import wavefront as wf
+    from kytpu.scene import builders
+
+    big = builders.random_spheres(n=70, width=16, height=16, seed=2)
+    assert int(big.mat_kind.shape[0]) > 64
+    cfg = wf.KernelConfig(max_depth=2, rows=8, sampler="sobol")
+    imgs = []
+    for shape in ((4, 2), (2, 4)):
+        mesh = make_mesh(shape=shape)
+        imgs.append(np.asarray(render_sharded_pallas(
+            big, mesh, spp=4, seed=9, kernel_cfg=cfg, interpret=True)))
+    assert np.isfinite(imgs[0]).all() and imgs[0].mean() > 0.001
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-6)
+    single = np.asarray(bs.render_bigscene(big, spp=4, seed=9, cfg=cfg,
+                                           interpret=True))
+    np.testing.assert_allclose(imgs[0], single, atol=2e-5)
