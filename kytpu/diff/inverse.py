@@ -177,9 +177,28 @@ def make_train_step(scene, target, spp: int = 4,
         target_flat = jax.device_put(
             jnp.asarray(target, jnp.float32).reshape(-1, 3), tile_sh)
 
-        def loss_of(params, key):
-            return _sharded_loss(params, scene, target_flat, key,
-                                 px, py, pid, sid, spp, cfg, loss_fn, mesh)
+        # sharded operands must enter through the jit boundary (closing
+        # over arrays that span non-addressable devices is an error in
+        # multi-process runs), so the mesh step threads them as arguments
+        @jax.jit
+        def step_mesh(params, opt_state, key, target_flat, px, py, pid, sid):
+            def loss_of(params, key):
+                return _sharded_loss(params, scene, target_flat, key,
+                                     px, py, pid, sid, spp, cfg, loss_fn,
+                                     mesh)
+            theta = encode(params)
+            loss, grads = jax.value_and_grad(
+                lambda th: loss_of(decode(th), key))(theta)
+            updates, opt_state = optimizer.update(grads, opt_state, theta)
+            params = decode(optax.apply_updates(theta, updates))
+            params = jax.tree.map(lambda p: jnp.clip(p, 0.0, None), params)
+            return params, opt_state, loss
+
+        def step(params, opt_state, key):
+            return step_mesh(params, opt_state, key, target_flat,
+                             px, py, pid, sid)
+
+        return step, params0, opt_state0
 
     @jax.jit
     def step(params, opt_state, key):

@@ -27,6 +27,10 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running golden/convergence tests")
+    config.addinivalue_line(
+        "markers", "multihost: spawns real OS processes (gloo collectives)")
+    config.addinivalue_line(
+        "markers", "parity: needs the compiled C++ reference (tools/)")
 
 
 import pytest  # noqa: E402
