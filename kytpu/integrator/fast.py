@@ -55,7 +55,14 @@ class FastConfig:
     max_depth: int = 5
     rr_start: int = 3
     unroll: int = 1
-    sampler: str = "random"   # "random" | "debug"
+    # "random": ONE fused threefry call per bounce (fastest).
+    # "debug": every draw 0.5 (reference debug_sampler_t, ky.cpp:922-947).
+    # "sobol": per-purpose Owen-scrambled (0,2) draws (core/lds.py) — the
+    # per-lane key must fold only the pixel id and the caller passes the
+    # sample index (render.trace_lanes does both); each (pixel, bounce,
+    # purpose) site owns one scramble, so the fused single-call layout is
+    # traded for a fold/split tree on this path only.
+    sampler: str = "random"   # "random" | "debug" | "sobol"
     filter: str = "box"       # "box" | "tent" (smallpt's 2x2 tent filter)
     # "parity" replicates the reference's shadow-ray self-occlusion quirk
     # (see kytpu.scene.scene.occluded); "robust" measures the shadow tmax
@@ -70,6 +77,21 @@ def _draws(keys, bounce, n_draws: int, sampler: str):
     return jax.vmap(
         lambda k: jax.random.uniform(jax.random.fold_in(k, bounce), (n_draws,))
     )(keys)
+
+
+def _draws_sobol(keys, bounce, n_lights: int, index):
+    """Per-purpose Owen-Sobol draws laid out in _draws' column order:
+    lobe | L x (2 light) | 2 bsdf | 1 rr. `keys` fold only the pixel id;
+    `index` is the per-lane sample id (the Sobol point index)."""
+    from kytpu.core import rng as krng
+    kb = krng.bounce_key(keys, bounce)
+    parts = krng.split_channels(kb, n_lights + 3)
+    cols = [krng.uniform(parts[0], (), "sobol", index)[:, None]]
+    for i in range(n_lights):
+        cols.append(krng.uniform2(parts[1 + i], "sobol", index))
+    cols.append(krng.uniform2(parts[n_lights + 1], "sobol", index))
+    cols.append(krng.uniform(parts[n_lights + 2], (), "sobol", index)[:, None])
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _hit_light_pdf(scene, prev_o, prev_n, d, light_index):
@@ -94,12 +116,17 @@ def _env_index(scene):
     return None
 
 
-def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
-    """Radiance for a batch of primary rays; (N, 3)."""
-    if cfg.sampler not in ("random", "debug"):
-        # the fused one-call-per-bounce draw has no per-purpose key to
-        # attach a Sobol scramble to; use PathConfig(sampler="sobol")
+def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig,
+                 index=None):
+    """Radiance for a batch of primary rays; (N, 3).
+
+    With cfg.sampler == "sobol", `keys` must be sample-independent
+    (pixel-folded only) and `index` the per-lane sample ids."""
+    if cfg.sampler not in ("random", "debug", "sobol"):
         raise ValueError(f"fast engine: unsupported sampler {cfg.sampler!r}")
+    if cfg.sampler == "sobol" and index is None:
+        raise ValueError("fast engine: sampler='sobol' needs the per-lane "
+                         "sample index (render.trace_lanes passes it)")
     n = o.shape[0]
     f32 = o.dtype
     L = scene.n_lights
@@ -110,7 +137,10 @@ def li_path_fast(scene: kscene.Scene, o, d, keys, cfg: FastConfig):
         o, d, beta, big_l, alive, prev_n, spec_prev, pdf_prev = carry
 
         hit = kscene.intersect(scene, o, d)
-        u = _sg(_draws(keys, bounce, n_draws, cfg.sampler))
+        if cfg.sampler == "sobol":
+            u = _sg(_draws_sobol(keys, bounce, L, index))
+        else:
+            u = _sg(_draws(keys, bounce, n_draws, cfg.sampler))
 
         # ---- emission with BSDF-side MIS weight ----
         le = jnp.where(hit.valid[:, None], hit.emission, 0.0)

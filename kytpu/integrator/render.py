@@ -74,7 +74,7 @@ def trace_lanes(scene, key, px, py, pixel_ids, sample_ids, cfg, mode, aov):
     if mode == "direct":
         return kpath.li_direct_lighting(scene, o, d, k_path, cfg, index)
     if mode == "fast" or isinstance(cfg, kfast.FastConfig):
-        return kfast.li_path_fast(scene, o, d, k_path, cfg)
+        return kfast.li_path_fast(scene, o, d, k_path, cfg, index)
     return kpath.li_path(scene, o, d, k_path, cfg, index)
 
 

@@ -43,22 +43,42 @@ def save_checkpoint(path: str, pytree, step: int | None = None) -> str:
     return path
 
 
-def load_checkpoint(path: str, like):
+class CheckpointMismatchError(ValueError):
+    """Checkpoint structure does not match the restore template."""
+
+
+def load_checkpoint(path: str, like, strict: bool = True):
     """Restore into the structure of `like` (a template pytree).
 
-    Returns (pytree, step). Raises if the leaf count doesn't match —
-    checkpoints are structure-checked, not blindly unpickled.
+    Returns (pytree, step). Structure-checked, not blindly unpickled:
+    raises CheckpointMismatchError at the load site if the leaf count, any
+    leaf SHAPE, or (strict) the stored treedef string disagrees with the
+    template — a wrong-template restore must not surface later as a
+    broadcast error (or silently, for scalars). Weakly-typed template
+    leaves (python floats) are restored as saved; array leaves are cast to
+    the template dtype (f32 checkpoints restore fine into bf16 params).
     """
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
     template_leaves, treedef = jax.tree.flatten(like)
     if len(template_leaves) != len(leaves):
-        raise ValueError(
+        raise CheckpointMismatchError(
             f"checkpoint has {len(leaves)} leaves, template has "
             f"{len(template_leaves)}")
-    restored = [
-        jax.numpy.asarray(x, dtype=t.dtype) if hasattr(t, "dtype") else x
-        for x, t in zip(leaves, template_leaves)
-    ]
+    if strict and meta.get("treedef") not in (None, _encode_aux(treedef)):
+        raise CheckpointMismatchError(
+            f"checkpoint treedef does not match template:\n"
+            f"  saved:    {meta['treedef']}\n"
+            f"  template: {_encode_aux(treedef)}")
+    restored = []
+    for i, (x, t) in enumerate(zip(leaves, template_leaves)):
+        t_shape = np.shape(t)
+        if x.shape != t_shape:
+            raise CheckpointMismatchError(
+                f"leaf {i}: checkpoint shape {x.shape} != template shape "
+                f"{t_shape}")
+        restored.append(
+            jax.numpy.asarray(x, dtype=t.dtype) if hasattr(t, "dtype")
+            else x)
     return jax.tree.unflatten(treedef, restored), meta.get("step")

@@ -33,6 +33,29 @@ def pytest_configure(config):
         "markers", "parity: needs the compiled C++ reference (tools/)")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tiered suite: the default `pytest -q` run skips tests marked `slow`
+    (heavy golden/convergence renders) and `parity` (compiles the C++
+    reference). Opt in with `-m slow` / `-m parity` / `-m "slow or not
+    slow"` — any explicit -m expression naming the marker disables the
+    auto-skip for it. KYTPU_FULL_SUITE=1 runs everything."""
+    import pytest as _pytest
+
+    if os.environ.get("KYTPU_FULL_SUITE"):
+        return
+    expr = config.option.markexpr or ""
+    for name, reason in (("slow", "slow test (opt in: -m slow or "
+                                  "KYTPU_FULL_SUITE=1)"),
+                         ("parity", "compiled-reference gate (opt in: "
+                                    "-m parity)")):
+        if name in expr:
+            continue
+        mark = _pytest.mark.skip(reason=reason)
+        for item in items:
+            if name in item.keywords:
+                item.add_marker(mark)
+
+
 import pytest  # noqa: E402
 
 

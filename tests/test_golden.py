@@ -56,14 +56,21 @@ def test_cornell_mirror_sphere_matches_oracle():
 
 @pytest.mark.slow
 def test_veach_matches_oracle():
-    scene = builders.veach_mis(width=48, height=29)
-    # Veach has high-variance sphere lights; compare at coarser tolerance
+    """Per-TILE comparison on the flagship MIS scene (not just the image
+    mean — a wrong-but-energy-conserving MIS weight must fail here).
+    Measured floor at these settings (2026-08-20): kytpu-vs-oracle tile
+    error mean 0.0084 / max 0.057 vs a kytpu-vs-kytpu different-seed noise
+    floor of mean 0.0082 / max 0.063 — the bounds below are ~2x floor."""
+    scene = builders.veach_mis(width=48, height=28)
     cfg = PathConfig(max_depth=3, variant="iteration", strategy="both_mis")
     ours = np.asarray(render(scene, spp=64, seed=3, cfg=cfg))
     ref = oracle_pt.render_oracle(scene, spp=64, seed=7, max_depth=3,
                                   strategy="both_mis")
-    # compare means over the whole image (integral agreement)
-    assert abs(ours.mean() - ref.mean()) < 0.02
+    a = _downsample(ours, 4)
+    b = _downsample(ref, 4)
+    d = np.abs(a - b)
+    assert d.mean() < 0.02, f"tile mean err {d.mean():.4f}"
+    assert d.max() < 0.12, f"tile max err {d.max():.4f}"
 
 
 def test_random_spheres_scene_scale():

@@ -31,13 +31,23 @@ def test_checkpoint_optimizer_state(tmp_path):
 
 
 def test_checkpoint_structure_mismatch(tmp_path):
+    import pytest
+    from kytpu.utils.checkpoint import CheckpointMismatchError
     p = str(tmp_path / "x.npz")
     save_checkpoint(p, {"a": jnp.ones(2)})
-    try:
+    with pytest.raises(CheckpointMismatchError):
         load_checkpoint(p, {"a": jnp.ones(2), "b": jnp.ones(2)})
-        assert False, "should have raised"
-    except ValueError:
-        pass
+    # same leaf count, wrong leaf shape -> named error at the load site,
+    # not a downstream broadcast error
+    with pytest.raises(CheckpointMismatchError, match="shape"):
+        load_checkpoint(p, {"a": jnp.ones(3)})
+    # same leaf count + shapes but different structure -> treedef mismatch
+    with pytest.raises(CheckpointMismatchError, match="treedef"):
+        load_checkpoint(p, (jnp.ones(2),))
+    # scalar shape mismatch (the silent-broadcast case) also raises
+    save_checkpoint(p, {"a": jnp.float32(1.0)})
+    with pytest.raises(CheckpointMismatchError, match="shape"):
+        load_checkpoint(p, {"a": jnp.ones(2)})
 
 
 def test_render_timer():

@@ -67,6 +67,14 @@ def main() -> int:
     ap.add_argument("--down", type=int, default=8,
                     help="downsample factor for noise cancellation")
     args = ap.parse_args()
+    return main_with_args(args.spp, args.tolerance, args.down)
+
+
+def main_with_args(spp: int = 64, tolerance: float = 1.5,
+                   down: int = 8) -> int:
+    """Programmatic entry (tests/test_parity.py runs this via -m parity)."""
+    import types
+    args = types.SimpleNamespace(spp=spp, tolerance=tolerance, down=down)
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from compare_reference import main as compare
