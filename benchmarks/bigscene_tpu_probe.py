@@ -20,9 +20,10 @@ from kytpu.scene.scene import generate_rays
 
 N = int(os.environ.get("NSPH", "1024"))
 DEPTH = int(os.environ.get("DEPTH", "3"))
+CULL = os.environ.get("CULL", "cone")
 sc = builders.random_spheres(n=N, width=256, height=256, seed=0)
-print("surfaces:", int(sc.mat_kind.shape[0]), flush=True)
-cfg = wf.KernelConfig(max_depth=DEPTH, rows=16)
+print("surfaces:", int(sc.mat_kind.shape[0]), "cull:", CULL, flush=True)
+cfg = wf.KernelConfig(max_depth=DEPTH, rows=16, cull=CULL)
 cam = sc.camera
 npix = cam.width * cam.height
 xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5

@@ -131,15 +131,17 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     Same ("tile", "spp") decomposition as render_sharded — pixels sharded
     over tile, samples over spp, one psum per pass — but each device runs
     the megakernel on its lane shard (a pallas_call inside shard_map).
-    Camera jitter stays keyed by (pixel, sample) so it is mesh-invariant;
-    with the default sampler the in-kernel path RNG is seeded per
-    (seed, device), so the image is reproducible per mesh shape rather
-    than across mesh shapes. With kernel_cfg.sampler == "sobol" every
-    in-kernel draw is a pure function of (seed, pixel id, sample index,
-    draw site), so the sharded image is mesh-invariant (and matches the
-    single-device render_pallas up to f32 reduction order) — except under
+    The DEFAULT sampler ("random") is implemented as the kernel's "hash"
+    sampler here: every in-kernel draw is a stateless function of
+    (seed, pixel id, sample index, draw site), and camera jitter is keyed
+    by (pixel, sample), so the sharded image is MESH-SHAPE-INVARIANT and
+    matches the single-device render_pallas(cfg.sampler="hash") up to f32
+    reduction order. kernel_cfg.sampler == "sobol" gets the same
+    invariance with low-discrepancy points. The one exception is
     nee="single", whose scalar per-tile light pick depends on the tile
-    decomposition.
+    decomposition. Pass kernel_cfg.sampler == "prng" to force the
+    device-seeded on-core PRNG (fastest; reproducible per mesh shape
+    only).
 
     engine: "pallas" (the baked-geometry megakernel), "bigscene" (the
     table-driven megakernel, O(1) compile in the surface count), or
@@ -147,10 +149,18 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     matching integrator.render's routing. Both tracers share the lane
     signature, so the mesh decomposition is identical.
     """
+    import dataclasses
+
     from kytpu.kernels import wavefront as kwf
     from kytpu.scene import scene as kscene_mod
 
     cfg = kernel_cfg or kwf.KernelConfig()
+    if cfg.sampler == "random":
+        # the sharded default is the decomposition-invariant hash sampler
+        cfg = dataclasses.replace(cfg, sampler="hash")
+    elif cfg.sampler == "prng":
+        # explicit opt-in to the device-seeded on-core PRNG
+        cfg = dataclasses.replace(cfg, sampler="random")
     if engine == "auto":
         engine = "pallas"
         if int(scene.mat_kind.shape[0]) > 64:
@@ -188,6 +198,7 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     key = jax.random.key(seed)
 
     use_sobol = cfg.sampler == "sobol"
+    use_hash = cfg.sampler == "hash"
 
     def body(scene, px, py, pid, sid):
         s_loc = sid.shape[0]
@@ -202,6 +213,12 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
             cam_keys = jax.vmap(
                 lambda p_: jax.random.fold_in(key, p_))(lane_pid)
             u = krng.uniform2(cam_keys, "sobol", lane_sid)
+        elif use_hash:
+            # identical construction to render_pallas' hash path: jitter
+            # keys and in-kernel streams keyed by (pixel, sample) only
+            cam_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                key, lane_sid * jnp.int32(npix) + lane_pid)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(cam_keys)
         else:
             keys = jax.vmap(
                 lambda s_, p_: jax.random.fold_in(
@@ -211,7 +228,7 @@ def render_sharded_pallas(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
         lane_px = jnp.tile(px, s_loc) + u[:, 0]
         lane_py = jnp.tile(py, s_loc) + u[:, 1]
         o, d = kscene_mod.generate_rays(cam, jnp.stack([lane_px, lane_py], -1))
-        if use_sobol:
+        if use_sobol or use_hash:
             out = tracer(scene, o, d, jnp.int32(seed), lane_sid, lane_pid)
         else:
             ti = jax.lax.axis_index("tile")

@@ -69,6 +69,11 @@ class KernelConfig:
     # (sample index, pixel id); every draw site gets an independently
     # shuffled+scrambled copy of the first two Sobol dimensions. Pure int
     # arithmetic, so interpret == TPU bitwise.
+    # "hash": stateless lowbias32 streams keyed by (seed, pixel id, sample
+    # id, draw site) — same extra lane planes as sobol. Every draw is
+    # independent of where the lane sits in the launch, so renders are
+    # invariant to pass chunking AND to the device-mesh shape (the sharded
+    # renderers' default; dist/shard.py).
     sampler: str = "random"
     # "parity" replicates the reference's shadow-ray self-occlusion quirk
     # (tmax measured from the unoffset shading point, ky.cpp:3193 + 614 —
@@ -83,6 +88,12 @@ class KernelConfig:
     # static-exponent fast path, so it is off for the pure-render/bench
     # configurations.
     trainable_exponent: bool = False
+    # Table-kernel (bigscene) geometry culling. "cone": per-sweep the tile
+    # computes its rays' bounding cone (scalar reductions), and each
+    # Morton-sorted UNROLL-row block is skipped via lax.cond when its
+    # bounding sphere cannot meet the cone — exact-conservative, so
+    # renders are bitwise identical to "off". The baked kernel ignores it.
+    cull: str = "cone"          # "cone" | "off"
 
 
 # ---------------------------------------------------------------------------
@@ -471,12 +482,21 @@ class _Rng:
     scrambled van-der-Corput value. Draw sites are indexed by the static
     trace-time counter, so forward and replay-backward streams align
     exactly as in the PRNG modes.
+
+    per_lane=True: `seed_scalar` is a PLANE of per-lane seeds (a hash of
+    (render seed, pixel id, sample id)); draws are then a pure function of
+    that key and the draw site, independent of where the lane sits in the
+    launch — this is the mesh-shape-invariant "hash" sampler used by the
+    sharded renderers (each lane produces identical streams under any
+    device/tile decomposition).
     """
 
-    def __init__(self, seed_scalar, hw: bool, sobol=None):
+    def __init__(self, seed_scalar, hw: bool, sobol=None,
+                 per_lane: bool = False):
         self.hw = hw
         self.seed = seed_scalar
         self.ctr = 0
+        self.per_lane = per_lane
         self.sobol = sobol is not None
         if sobol is not None:
             si, ph = sobol
@@ -510,11 +530,17 @@ class _Rng:
         if self.hw:
             return _uniform(shape)
         self.ctr += 1
-        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 0) * np.int32(shape[-1]) \
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         step = (self.ctr * 668265263) & 0xFFFFFFFF  # trace-time wraparound
-        x = self.seed + lane * np.int32(374761393) \
-            + np.int32(step - (1 << 32) if step >= (1 << 31) else step)
+        step = np.int32(step - (1 << 32) if step >= (1 << 31) else step)
+        if self.per_lane:
+            # seed is already a unique-per-lane plane; mixing in the lane
+            # position would break decomposition invariance
+            x = self.seed + step
+        else:
+            lane = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    * np.int32(shape[-1])
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            x = self.seed + lane * np.int32(374761393) + step
         x = x ^ jax.lax.shift_right_logical(x, jnp.int32(17))
         x = x * np.int32(-315667899)            # 0xed5ad4bb
         x = x ^ jax.lax.shift_right_logical(x, jnp.int32(11))
@@ -1563,6 +1589,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         res_ix, res_n = _residual_layout(static, cfg)
 
     use_sobol = cfg.sampler == "sobol"
+    use_hash = cfg.sampler == "hash"
     use_texp = cfg.trainable_exponent
     if use_texp:
         static_exp = None   # exponents come from the traced SMEM table
@@ -1580,7 +1607,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         (light_emit_ref, env_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[:8]
         rest = rest[8:]
-        if use_sobol:
+        if use_sobol or use_hash:
             si_ref = rest.pop(0)    # per-lane sample index (int32)
             pix_ref = rest.pop(0)   # per-lane pixel id (int32)
         if grad:
@@ -1602,6 +1629,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         if use_sobol:
             rng = _Rng(tile_seed, False,
                        sobol=(si_ref[:], _pix_hash(pix_ref[:], seed_ref[0])))
+        elif use_hash:
+            # mesh-invariant stateless streams: per-lane key from
+            # (render seed, pixel id, sample id), independent of tile/device
+            lane_seed = _pix_hash(si_ref[:],
+                                  _pix_hash(pix_ref[:], seed_ref[0]))
+            rng = _Rng(lane_seed, False, per_lane=True)
         else:
             if hw_rng:
                 pltpu.prng_seed(tile_seed)
@@ -1910,6 +1943,12 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     # npix >= tile lanes (render_pallas orders lanes
                     # pixel-major per sample); reading lane 0 keeps the
                     # pick scalar either way.
+                    c = c + si_ref[0, 0]
+                elif use_hash:
+                    # same stratified rotation (hash passes also hold the
+                    # seed fixed and advance the sample index); the scalar
+                    # pick itself stays tile-indexed, so nee="single" keeps
+                    # its documented mesh-shape-variance under sharding
                     c = c + si_ref[0, 0]
                 pick = jax.lax.rem(c & np.int32(0x7fffffff), np.int32(L))
 
@@ -2665,7 +2704,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     has_tex = bool(static["textures"])
     has_img = any(r.get("kind") == "image" for r in static["textures"])
     n_texels = static.get("n_texels", 0)
-    use_sobol = cfg.sampler == "sobol"
+    use_sobol = cfg.sampler in ("sobol", "hash")  # kernel takes si/pix planes
     use_texp = cfg.trainable_exponent
 
     @jax.jit
@@ -2845,7 +2884,7 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     env_row = next((i for i, k in enumerate(scene.lights.kinds)
                     if int(k) == klights.ENV), None) if n_lights else None
 
-    use_sobol = cfg.sampler == "sobol"
+    use_sobol = cfg.sampler in ("sobol", "hash")  # kernel takes si/pix planes
 
     def _planes(v, n, npad, rows):
         pad = jnp.zeros((npad - n,), jnp.float32)
@@ -3143,6 +3182,7 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
 
     cfg = cfg or KernelConfig()
     use_sobol = cfg.sampler == "sobol"
+    use_hash = cfg.sampler == "hash"
     if tracer is None:
         tracer = make_pallas_tracer(scene, cfg, interpret)
     cam = scene.camera
@@ -3165,7 +3205,7 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
             tracer._render_passes = pass_memo
         except AttributeError:   # jit wrappers without settable attrs
             pass
-    pass_key = (k, w, h, use_sobol,
+    pass_key = (k, w, h, cfg.sampler,
                 _static_digest([np.asarray(cam.position),
                                 np.asarray(cam.front),
                                 np.asarray(cam.right), np.asarray(cam.up)]))
@@ -3179,6 +3219,24 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
                 si = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32),
                                          npix)
                 u = krng.uniform2(cam_keys, "sobol", si)
+                px = jnp.tile(px0, k) + u[:, 0]
+                py = jnp.tile(py0, k) + u[:, 1]
+                o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
+                out = tracer(scene, o, d, seed_val, si, pid_k)
+                return out.reshape(k, npix, 3).sum(axis=0)
+        elif use_hash:
+            # mesh/pass-decomposition-invariant: camera jitter keyed by
+            # (pixel, sample), in-kernel streams by (seed, pixel, sample)
+            pid_k = jnp.tile(pid, k)
+
+            @jax.jit
+            def one_pass(scene, key, s_base, seed_val):
+                si = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32),
+                                         npix)
+                cam_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    key, si * jnp.int32(npix) + pid_k)
+                u = jax.vmap(lambda kk: jax.random.uniform(kk, (2,)))(
+                    cam_keys)
                 px = jnp.tile(px0, k) + u[:, 0]
                 py = jnp.tile(py0, k) + u[:, 1]
                 o, d = kscene.generate_rays(cam, jnp.stack([px, py], -1))
@@ -3207,6 +3265,9 @@ def render_pallas(scene, spp: int = 16, seed: int = 1234,
     while s0 < spp:
         if use_sobol:
             accum = accum + one_pass(scene, cam_keys, jnp.int32(p * k),
+                                     jnp.int32(seed))
+        elif use_hash:
+            accum = accum + one_pass(scene, key, jnp.int32(p * k),
                                      jnp.int32(seed))
         else:
             accum = accum + one_pass(scene, jax.random.fold_in(key, p),
