@@ -23,13 +23,34 @@ DEPTH = int(os.environ.get("DEPTH", "3"))
 CULL = os.environ.get("CULL", "cone")
 sc = builders.random_spheres(n=N, width=256, height=256, seed=0)
 print("surfaces:", int(sc.mat_kind.shape[0]), "cull:", CULL, flush=True)
-cfg = wf.KernelConfig(max_depth=DEPTH, rows=16, cull=CULL)
+cfg = wf.KernelConfig(max_depth=DEPTH, rows=int(os.environ.get("ROWS","16")), cull=CULL)
 cam = sc.camera
 npix = cam.width * cam.height
 xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5
 ys = (jnp.arange(npix) // cam.width).astype(jnp.float32) + 0.5
 o, d = generate_rays(cam, jnp.stack([xs, ys], axis=-1))
 rep = max(1, (1 << 20) // npix)
+if os.environ.get("BINPIX", "0") == "1":
+    # ray binning: group primary-miss pixels together (their tiles die
+    # after bounce 0) and cluster hit pixels by Morton code of the hit
+    # point (coherent tiles -> tight cull cones at bounce 1 and for NEE)
+    import jax as _jax
+    from kytpu.scene import scene as kscene
+    hit = kscene.intersect(sc, o, d)
+    hp = np.asarray(hit.position); valid = np.asarray(hit.valid)
+    lo = hp[valid].min(axis=0); hi = hp[valid].max(axis=0)
+    q = np.clip((hp - lo) / np.maximum(hi - lo, 1e-9) * 1023, 0, 1023).astype(np.uint64)
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+    key_m = (spread(q[:,0])<<np.uint64(2)) | (spread(q[:,1])<<np.uint64(1)) | spread(q[:,2])
+    key_m = np.where(valid, key_m, np.uint64(1)<<np.uint64(62))
+    perm = np.argsort(key_m, kind="stable")
+    o = jnp.asarray(np.asarray(o)[perm]); d = jnp.asarray(np.asarray(d)[perm])
+    print("binned pixels: miss frac", float((~valid).mean()), flush=True)
 o = jnp.tile(o, (rep, 1)); d = jnp.tile(d, (rep, 1))
 nlanes = o.shape[0]
 print("lanes:", nlanes, "depth:", DEPTH, flush=True)

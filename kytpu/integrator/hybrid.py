@@ -1,0 +1,245 @@
+"""Hybrid big-scene integrator: fast-engine transport + Pallas sweeps +
+alive-compaction (see kytpu/kernels/hybrid.py for the architecture note).
+
+The estimator is IDENTICAL to kytpu.integrator.fast.li_path_fast — same
+single-sample MIS, same RNG discipline (per-lane keys; every lane's draws
+depend only on its key and the bounce), same RR rule — so the two engines
+converge to the same image; the only differences are the geometry
+primitives (Pallas table sweeps instead of the jnp chunked sweep) and the
+control flow (an unrolled per-bounce loop with lane partitioning instead
+of one lax.scan). Per-lane math is order-independent, so the partition
+never changes any lane's radiance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kytpu import bsdf as kbsdf
+from kytpu.core import math as km
+from kytpu.integrator import fast as kfast
+from kytpu.light import lights as klights
+from kytpu.scene import scene as kscene
+from kytpu.scene import shapes as kshapes
+
+_sg = jax.lax.stop_gradient
+
+
+def _partition_by(alive, tree):
+    """Stable alive-first permutation of every (N, ...) leaf. Pure XLA
+    (cumsum + one scatter + per-leaf gathers); static shapes."""
+    n = alive.shape[0]
+    a = alive.astype(jnp.int32)
+    na = jnp.cumsum(a)
+    total = na[-1]
+    dest = jnp.where(alive, na - 1, total + jnp.cumsum(1 - a) - 1)
+    inv = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jax.tree.map(lambda x: x[inv], tree)
+
+
+def _bind_hit(b, o, d, t, alive):
+    """Surface binding for sweep winners. The binding columns arrive
+    FROM the closest-hit kernel (resolved in-kernel over the winner-row
+    range — a per-lane XLA gather of the same table costs ~27 ms per 1M
+    lanes on v5e); this is pure elementwise math applying the
+    orientation/emission rules of scene.py:163-190 /
+    shapes.surface_normal. Misses carry all-zero columns (masked by
+    `valid`, like scene.intersect's sid=0 gathers)."""
+    valid = alive & jnp.isfinite(t)
+    from kytpu.kernels.hybrid import (
+        B_FLAG, B_LIX, B_KIND, B_EXP, B_ETA, B_DPROB, B_SPROB, B_SID)
+    t_safe = jnp.where(valid, t, 1.0)
+    position = o + t_safe[:, None] * d
+    flag = b[:, B_FLAG]
+    noc = b[:, 0:3]
+    # planar: stored normal (rects flip toward the ray, ky.cpp:1289);
+    # sphere: outward geometric normal (ky.cpp:1389)
+    n_sp = km.normalize(position - noc)
+    flip = (flag == 1.0) & (km.dot(noc, d) > 0)
+    n_pl = jnp.where(flip[:, None], -noc, noc)
+    normal = jnp.where((flag == 2.0)[:, None], n_sp, n_pl)
+    wo = -d
+    facing = km.dot(normal, wo) > 0.0
+    emission = jnp.where((valid & facing)[:, None], b[:, 4:7], 0.0)
+    light_index = jnp.where(valid, b[:, B_LIX].astype(jnp.int32), -1)
+    sid = b[:, B_SID].astype(jnp.int32)
+    hit = kscene.Hit(t=t, valid=valid, position=position, normal=normal,
+                     wo=wo, sid=sid, emission=emission,
+                     light_index=light_index,
+                     uv=jnp.zeros((o.shape[0], 2), o.dtype))
+    mat = dict(kind=b[:, B_KIND].astype(jnp.int32),
+               diffuse=b[:, 9:12], specular=b[:, 12:15],
+               exponent=b[:, B_EXP], eta=b[:, B_ETA],
+               d_prob=b[:, B_DPROB], s_prob=b[:, B_SPROB])
+    return hit, mat
+
+
+def li_path_hybrid(scene, o, d, keys, cfg: kfast.FastConfig,
+                   index=None, kcfg=None, interpret: bool = False,
+                   repartition: bool = False):
+    """Radiance for a batch of primary rays; (N, 3). Table-eligible
+    scenes only (raises NotImplementedError otherwise, like the bigscene
+    kernel)."""
+    from kytpu.kernels import hybrid as khyb
+    from kytpu.kernels import wavefront as kwf
+
+    if cfg.sampler == "sobol" and index is None:
+        raise ValueError("hybrid engine: sampler='sobol' needs the "
+                         "per-lane sample index")
+    kcfg = kcfg or kwf.KernelConfig()
+    closest, any_hit, _ = khyb.make_sweeps(scene, kcfg, interpret)
+
+    n = o.shape[0]
+    f32 = o.dtype
+    L = scene.n_lights
+    n_draws = 2 * L + 4
+    env_i = kfast._env_index(scene)
+    if index is None:
+        index = jnp.zeros((n,), jnp.int32)
+
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones((n, 3), f32),
+        big_l=jnp.zeros((n, 3), f32),
+        alive=jnp.ones((n,), bool),
+        prev_n=-d,
+        spec_prev=jnp.zeros((n,), bool),
+        pdf_prev=jnp.ones((n,), f32),
+        keys=keys,
+        index=index,
+        lane=jnp.arange(n, dtype=jnp.int32),
+    )
+
+    for bounce in range(cfg.max_depth + 1):
+        o = state["o"]
+        d = state["d"]
+        beta = state["beta"]
+        big_l = state["big_l"]
+        alive = state["alive"]
+        prev_n = state["prev_n"]
+        spec_prev = state["spec_prev"]
+        pdf_prev = state["pdf_prev"]
+        keys = state["keys"]
+
+        t, bind_cols = closest(o, d, alive)
+        hit, mat = _bind_hit(bind_cols, o, d, t, alive)
+        if cfg.sampler == "sobol":
+            u = _sg(kfast._draws_sobol(keys, bounce, L, state["index"]))
+        else:
+            u = _sg(kfast._draws(keys, bounce, n_draws, cfg.sampler))
+
+        # ---- emission with BSDF-side MIS weight (fast.py:115-130) ----
+        le = jnp.where(hit.valid[:, None], hit.emission, 0.0)
+        pdf_l_hit = _sg(kfast._hit_light_pdf(scene, o, prev_n, d,
+                                             hit.light_index))
+        full = (bounce == 0) | spec_prev
+        w_emit = jnp.where(full, 1.0,
+                           km.safe_div(pdf_prev, pdf_prev + pdf_l_hit))
+        big_l = big_l + jnp.where(alive[:, None],
+                                  beta * le * w_emit[:, None], 0.0)
+        if env_i is not None:
+            le_env = scene.env_radiance(n)
+            pdf_env = _sg(klights.pdf_li(scene.lights, env_i, o, prev_n, d))
+            w_env = jnp.where(full, 1.0,
+                              km.safe_div(pdf_prev, pdf_prev + pdf_env))
+            big_l = big_l + jnp.where(
+                (alive & ~hit.valid)[:, None],
+                beta * le_env * w_env[:, None], 0.0)
+
+        cont = alive & hit.valid & (bounce < cfg.max_depth)
+
+        # ---- resolve material (fast.py:134-141; cols from the same
+        # binding gather) ----
+        params = kbsdf.resolve_bsdf(
+            mat["kind"], mat["diffuse"], mat["specular"], mat["exponent"],
+            mat["eta"], mat["d_prob"], mat["s_prob"], u[:, 0])
+        delta = kbsdf.is_delta(params)
+        nee_act = cont & ~delta
+
+        # ---- light-side NEE, batched shadow sweep (fast.py:144-191) ----
+        if L:
+            contribs = []
+            sh_o, sh_d, sh_t = [], [], []
+            for i, kind in enumerate(scene.lights.kinds):
+                u2 = u[:, 1 + 2 * i:3 + 2 * i]
+                ls = klights.sample_li(scene.lights, i, scene.world_radius,
+                                       hit.position, hit.normal, u2)
+                wi = _sg(ls.wi)
+                pdf_l = _sg(ls.pdf)
+                f_cos = kbsdf.eval_world(params, hit.normal, hit.wo, wi) \
+                    * km.absdot(wi, hit.normal)[:, None]
+                if klights.is_delta_light(kind):
+                    w = km.safe_div(1.0, pdf_l)
+                else:
+                    pdf_b = _sg(kbsdf.pdf_world(params, hit.normal,
+                                                hit.wo, wi))
+                    w = km.safe_div(1.0, pdf_l + pdf_b)
+                ok = nee_act & (pdf_l > 0.0) \
+                    & ~jnp.all(ls.li <= 0.0, axis=-1) \
+                    & ~jnp.all(f_cos <= 0.0, axis=-1)
+                contribs.append((ok, f_cos * ls.li * w[:, None]))
+                o_i = kshapes.offset_ray_origin(hit.position, hit.normal,
+                                                wi)
+                sh_o.append(o_i)
+                sh_d.append(wi)
+                d_from = o_i if cfg.shadow == "robust" else hit.position
+                sh_t.append(km.distance(d_from, ls.position)
+                            - km.SHADOW_EPSILON)
+            oc_o = jnp.concatenate(sh_o, 0)
+            oc_d = jnp.concatenate(sh_d, 0)
+            oc_t = jnp.concatenate(sh_t, 0)
+            oc_act = jnp.concatenate(
+                [ok for ok, _ in contribs], 0)
+            occ = any_hit(oc_o, oc_d, oc_t, oc_act).reshape(L, n)
+            ld = jnp.zeros((n, 3), f32)
+            for i, (ok, c) in enumerate(contribs):
+                ld = ld + jnp.where((ok & ~occ[i])[:, None], c, 0.0)
+            big_l = big_l + beta * ld
+
+        # ---- extension ray + RR (fast.py:193-219) ----
+        bsm = kbsdf.sample_world(params, hit.normal, hit.wo,
+                                 u[:, 2 * L + 1:2 * L + 3])
+        wi = _sg(bsm.wi)
+        pdf = _sg(bsm.pdf)
+        ok = cont & ~jnp.all(bsm.f <= 0.0, axis=-1) & (pdf != 0.0)
+        throughput = bsm.f * km.safe_div(km.absdot(wi, hit.normal),
+                                         pdf)[:, None]
+        beta_new = beta * throughput
+        q = _sg(jnp.maximum(0.05, 1.0 - km.max_component(beta_new)))
+        rr_on = bounce > cfg.rr_start
+        kill = rr_on & (u[:, 2 * L + 3] < q)
+        beta_new = beta_new * jnp.where(rr_on, km.safe_div(1.0, 1.0 - q),
+                                        1.0)[:, None]
+        alive_n = ok & ~kill
+        sel = alive_n[:, None]
+
+        state = dict(
+            o=jnp.where(sel, kshapes.offset_ray_origin(
+                hit.position, hit.normal, wi), o),
+            d=jnp.where(sel, wi, d),
+            beta=jnp.where(sel, beta_new, beta),
+            big_l=big_l,
+            alive=alive_n,
+            prev_n=jnp.where(sel, hit.normal, prev_n),
+            spec_prev=jnp.where(alive_n, bsm.delta, spec_prev),
+            pdf_prev=jnp.where(alive_n, pdf, pdf_prev),
+            keys=keys,
+            index=state["index"],
+            lane=state["lane"],
+        )
+        # Lane death is spatially clustered (whole sky/miss regions die
+        # together) and lanes arrive pixel-ordered, so the sweep kernels'
+        # whole-tile dead skip already captures most of the compaction win
+        # for free. An explicit alive-first permutation (repartition=True)
+        # packs the stragglers too, but XLA's 1M-row gathers cost ~200 ms
+        # per bounce on v5e (measured) — far more than they save; off by
+        # default until a DMA-based in-kernel pack exists.
+        if repartition and bounce < cfg.max_depth:
+            state = _partition_by(state["alive"], state)
+
+    # restore original lane order
+    out = jnp.zeros((n, 3), f32).at[state["lane"]].set(state["big_l"])
+    return out

@@ -90,15 +90,58 @@ def _pad_rows(a, mult=UNROLL):
                                        a.dtype)], axis=0)
 
 
+def _morton3(points: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """30-bit Morton keys of points quantized over [lo, hi]."""
+    span = np.maximum(hi - lo, 1e-20)
+    q = np.clip(((points - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1])
+                                                << np.uint64(1)) \
+        | spread(q[:, 2])
+
+
+def _block_bounds(centers, radii):
+    """Per-UNROLL-block bounding spheres of (already sorted, unpadded)
+    per-entry bounds. Returns (n_blocks, 4) [cx cy cz r]; blocks made
+    entirely of padding get r = -1 (miss every cull test)."""
+    n = len(radii)
+    npad = ((n + UNROLL - 1) // UNROLL) * UNROLL if n else 0
+    out = np.zeros((npad // UNROLL if npad else 0, 4), np.float32)
+    for b in range(out.shape[0]):
+        i0, i1 = b * UNROLL, min((b + 1) * UNROLL, n)
+        if i0 >= n:
+            out[b] = [0, 0, 0, -1.0]
+            continue
+        cs = np.asarray(centers[i0:i1], np.float64)
+        rs = np.asarray(radii[i0:i1], np.float64)
+        lo = (cs - rs[:, None]).min(axis=0)
+        hi = (cs + rs[:, None]).max(axis=0)
+        c = (lo + hi) * 0.5
+        r = float(np.max(np.linalg.norm(cs - c, axis=-1) + rs))
+        out[b] = [c[0], c[1], c[2], r * 1.0001 + 1e-6]   # conservative pad
+    return out
+
+
 def extract_tables(scene):
     """Host-side extraction: geometry as numpy column blocks per shape
     class + the surface-row index of each table row (for gathering the
     traced material columns), plus the baked light records of
     wavefront.extract_static (lights are few; they stay constants).
 
-    Returns (static, tables) where tables = {class: (geo_np, rows_np)}.
-    Raises NotImplementedError for non-parallelogram rects and textured
-    scenes (route those to the baked kernel / jnp engines).
+    Rows within each class are sorted by the Morton code of their bound
+    centers, so each UNROLL-row block is spatially compact; per-block
+    bounding spheres feed the in-kernel cone cull (cfg.cull).
+
+    Returns (static, tables) where tables = {class: (geo_np, rows_np,
+    bounds_np)}. Raises NotImplementedError for non-parallelogram rects
+    and textured scenes (route those to the baked kernel / jnp engines).
     """
     if getattr(scene, "has_textures", False):
         raise NotImplementedError(
@@ -107,6 +150,13 @@ def extract_tables(scene):
     static = wf.extract_static(scene)
     tris, rects, disks = [], [], []
     tri_rows, rect_rows, disk_rows = [], [], []
+    tri_b, rect_b, disk_b = [], [], []   # per-entry (center, radius)
+
+    def vert_bound(verts):
+        v = np.asarray(verts, np.float64)
+        c = (v.min(axis=0) + v.max(axis=0)) * 0.5
+        return c, float(np.max(np.linalg.norm(v - c, axis=-1)))
+
     for row, s in enumerate(static["planar"]):
         if s["kind"] == kshapes.DISK:
             n = np.asarray(s["n"], np.float64)
@@ -114,6 +164,7 @@ def extract_tables(scene):
             disks.append(list(n) + [float(np.dot(n, p0))] + list(p0)
                          + [s["radius"] ** 2])
             disk_rows.append(row)
+            disk_b.append((p0, float(s["radius"])))
             continue
         if not s.get("fast"):
             raise NotImplementedError(
@@ -130,30 +181,54 @@ def extract_tables(scene):
         if s["kind"] == kshapes.TRI:
             tris.append(rec)
             tri_rows.append(row)
+            tri_b.append(vert_bound([s["p0"], s["p1"], s["p2"]]))
         else:
             rects.append(rec)
             rect_rows.append(row)
+            rect_b.append(vert_bound([s["p0"], s["p1"], s["p2"], s["p3"]]))
     spheres = [list(np.asarray(s["c"], np.float64)) + [s["r"]]
                for s in static["spheres"]]
     sph_rows = [len(static["planar"]) + j for j in range(len(spheres))]
+    sph_b = [(np.asarray(s["c"], np.float64), float(s["r"]))
+             for s in static["spheres"]]
 
-    def blk(lst, rows, cols):
+    # scene-wide AABB of bound centers for Morton quantization
+    all_c = [c for bs in (tri_b, rect_b, disk_b, sph_b) for c, _ in bs]
+    if all_c:
+        allc = np.asarray(all_c, np.float64)
+        lo, hi = allc.min(axis=0), allc.max(axis=0)
+    else:
+        lo = hi = np.zeros(3)
+
+    def blk(lst, rows, bounds, cols):
         geo = np.asarray(lst, np.float32).reshape(len(lst), cols)
-        return _pad_rows(geo), _pad_rows(np.asarray(rows, np.int32))
+        rows = np.asarray(rows, np.int32)
+        if len(bounds) > 1:
+            centers = np.asarray([c for c, _ in bounds], np.float64)
+            order = np.argsort(np.asarray(_morton3(centers, lo, hi)),
+                               kind="stable")
+            geo = geo[order]
+            rows = rows[order]
+            bounds = [bounds[i] for i in order]
+        bnp = _block_bounds([c for c, _ in bounds],
+                            [r for _, r in bounds])
+        return _pad_rows(geo), _pad_rows(rows), bnp
 
     tables = {
-        "tri": blk(tris, tri_rows, PLANAR_GEO_COLS),
-        "rect": blk(rects, rect_rows, PLANAR_GEO_COLS),
-        "disk": blk(disks, disk_rows, DISK_GEO_COLS),
-        "sphere": blk(spheres, sph_rows, SPHERE_GEO_COLS),
+        "tri": blk(tris, tri_rows, tri_b, PLANAR_GEO_COLS),
+        "rect": blk(rects, rect_rows, rect_b, PLANAR_GEO_COLS),
+        "disk": blk(disks, disk_rows, disk_b, DISK_GEO_COLS),
+        "sphere": blk(spheres, sph_rows, sph_b, SPHERE_GEO_COLS),
     }
     # global surface row -> (table kind, table row); lets the robust shadow
-    # mode skip a light's own geometry inside the table sweeps
+    # mode skip a light's own geometry inside the table sweeps. Uses the
+    # POST-SORT table order (rows_np holds the global row of each entry).
     table_of_row = {}
-    for name, rows in (("tri", tri_rows), ("rect", rect_rows),
-                       ("disk", disk_rows), ("sphere", sph_rows)):
-        for ti, row in enumerate(rows):
-            table_of_row[row] = (name, ti)
+    n_real = {"tri": len(tris), "rect": len(rects), "disk": len(disks),
+              "sphere": len(spheres)}
+    for name in ("tri", "rect", "disk", "sphere"):
+        for ti, row in enumerate(np.asarray(tables[name][1])[:n_real[name]]):
+            table_of_row[int(row)] = (name, ti)
     static["table_of_row"] = table_of_row
     return static, tables
 
@@ -272,10 +347,95 @@ def _fori(n_rows, body, carry):
     return jax.lax.fori_loop(0, n_rows // UNROLL, outer, carry)
 
 
-def _closest_hit_tables(refs, counts, o: V3, d: V3):
-    """Table-sweep closest hit. Returns the _Carry tuple (+ valid mask)."""
+def _fori_culled(n_rows, body, carry, block_pred):
+    """_fori, but each UNROLL-row block is skipped entirely (lax.cond —
+    a real branch on this TPU, measured 5.5x faster when false:
+    benchmarks/cull_probe.py) when block_pred(i) says no ray can meet
+    the block's bounding sphere."""
+    if n_rows == 0:
+        return carry
+    if block_pred is None:
+        return _fori(n_rows, body, carry)
+
+    def outer(i, cy):
+        def run(c):
+            for k in range(UNROLL):
+                c = body(i * UNROLL + k, c)
+            return c
+
+        return jax.lax.cond(block_pred(i), run, lambda c: c, cy)
+
+    return jax.lax.fori_loop(0, n_rows // UNROLL, outer, carry)
+
+
+def _ray_cone(o: V3, d: V3, extra_ro=0.0):
+    """Scalar bounding cone of a tile's rays: origins inside the sphere
+    (O, ro), unit directions within angle acos(cos_min) of axis a. All
+    eight values are rank-0 (full-plane reductions happen ONCE per sweep;
+    per-block tests are then pure scalar math)."""
+    xlo, xhi = jnp.min(o.x), jnp.max(o.x)
+    ylo, yhi = jnp.min(o.y), jnp.max(o.y)
+    zlo, zhi = jnp.min(o.z), jnp.max(o.z)
+    ox = (xlo + xhi) * 0.5
+    oy = (ylo + yhi) * 0.5
+    oz = (zlo + zhi) * 0.5
+    ro = jnp.sqrt((xhi - xlo) ** 2 + (yhi - ylo) ** 2
+                  + (zhi - zlo) ** 2) * 0.5 + np.float32(extra_ro)
+    sx, sy, sz = jnp.sum(d.x), jnp.sum(d.y), jnp.sum(d.z)
+    sl = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    inv = np.float32(1.0) / jnp.maximum(sl, np.float32(1e-20))
+    ax, ay, az = sx * inv, sy * inv, sz * inv
+    cos_min = jnp.min(ax * d.x + ay * d.y + az * d.z)
+    sin_min = jnp.sqrt(jnp.maximum(np.float32(1.0) - cos_min * cos_min,
+                                   np.float32(0.0)))
+    # non-finite inputs must disable culling, not mis-cull: a NaN poisons
+    # cos_min, and every comparison on it is False — detect and force the
+    # "always hit" state (cos_min = -1)
+    fin = jnp.isfinite(ox + oy + oz + ro + cos_min)
+    cos_min = jnp.where(fin, cos_min, np.float32(-1.0))
+    sin_min = jnp.where(fin, sin_min, np.float32(0.0))
+    ro = jnp.where(fin, ro, np.float32(np.inf))
+    return (ox, oy, oz, ro, ax, ay, az, cos_min, sin_min)
+
+
+def _cone_hits_block(cone, bref, i, tmax=None):
+    """Conservative scalar test: can ANY ray of the cone meet block i's
+    bounding sphere? (Supporting-halfspace distance bound — skips only
+    when the true distance to the cone exceeds R, so culling never
+    changes the image.) tmax (scalar) additionally prunes blocks farther
+    than the longest ray."""
+    ox, oy, oz, ro, ax, ay, az, cos_min, sin_min = cone
+    cx, cy_, cz, r = bref[i, 0], bref[i, 1], bref[i, 2], bref[i, 3]
+    R = r + ro
+    vx, vy, vz = cx - ox, cy_ - oy, cz - oz
+    d2 = vx * vx + vy * vy + vz * vz
+    a1 = vx * ax + vy * ay + vz * az
+    e = jnp.sqrt(jnp.maximum(d2 - a1 * a1, np.float32(0.0)))
+    dist = cos_min * e - sin_min * a1
+    hit = (d2 <= R * R) | (dist <= R)
+    # obtuse cones are non-convex — the halfspace bound is invalid there,
+    # so fall back to "always hit" (no culling when rays are incoherent)
+    hit = hit | (cos_min <= np.float32(0.0))
+    hit = hit & (r >= np.float32(0.0))      # r < 0 marks all-padding blocks
+    if tmax is not None:
+        hit = hit & (d2 <= (R + tmax) * (R + tmax))
+    return hit
+
+
+def _closest_hit_tables(refs, counts, o: V3, d: V3, bounds=None):
+    """Table-sweep closest hit. Returns the _Carry tuple (+ valid mask).
+
+    bounds: optional (tri_b, rect_b, disk_b, sph_b) SMEM block-bound refs —
+    enables the per-block cone cull (exact-conservative; identical
+    results, fewer row tests on coherent tiles)."""
     tri_ref, rect_ref, disk_ref, sph_ref = refs
     carry = _Carry.init(o.x.shape)
+    preds = [None] * 4
+    if bounds is not None:
+        cone = _ray_cone(o, d)
+        preds = [
+            (lambda i, b=b: _cone_hits_block(cone, b, i))
+            if b is not None else None for b in bounds]
 
     def planar_body(tri, geo_cols):
         def body(s, cy):
@@ -292,8 +452,11 @@ def _closest_hit_tables(refs, counts, o: V3, d: V3):
             return _Carry.select(cy, accept, t, n, mat)
         return body
 
-    carry = _fori(counts["tri"], planar_body(True, PLANAR_GEO_COLS), carry)
-    carry = _fori(counts["rect"], planar_body(False, PLANAR_GEO_COLS), carry)
+    carry = _fori_culled(counts["tri"], planar_body(True, PLANAR_GEO_COLS),
+                         carry, preds[0])
+    carry = _fori_culled(counts["rect"],
+                         planar_body(False, PLANAR_GEO_COLS), carry,
+                         preds[1])
 
     def disk_body(s, cy):
         t, inside, n = _disk_row_test(disk_ref, s, o, d)
@@ -301,7 +464,7 @@ def _closest_hit_tables(refs, counts, o: V3, d: V3):
         mat = [disk_ref[s, DISK_GEO_COLS + c] for c in range(MAT_COLS)]
         return _Carry.select(cy, accept, t, n, mat)
 
-    carry = _fori(counts["disk"], disk_body, carry)
+    carry = _fori_culled(counts["disk"], disk_body, carry, preds[2])
 
     def sph_body(s, cy):
         c, r, cc, neg_b, discr = _sphere_row_parts(sph_ref, s, o, d)
@@ -319,12 +482,12 @@ def _closest_hit_tables(refs, counts, o: V3, d: V3):
         mat = [sph_ref[s, SPHERE_GEO_COLS + c] for c in range(MAT_COLS)]
         return _Carry.select(cy, accept, t, n, mat)
 
-    carry = _fori(counts["sphere"], sph_body, carry)
+    carry = _fori_culled(counts["sphere"], sph_body, carry, preds[3])
     return carry
 
 
 def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
-                    robust: bool = False, own=None):
+                    robust: bool = False, own=None, bounds=None):
     """Merged K-ray occlusion over the tables (geometry columns only);
     the wavefront._any_hit_multi algebra with traced per-row scalars.
 
@@ -347,6 +510,28 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
         rays = [(rays[k][0], rays[k][1] - se[k] * nd[k]) for k in range(K)]
     one = np.int32(1)
     hits = tuple(jnp.zeros(hp.x.shape, jnp.int32) for _ in range(K))
+
+    preds = [None] * 4
+    if bounds is not None:
+        # one cone per shadow ray (origins = the tile's shading points,
+        # inflated by the origin offset; tmax prunes blocks beyond the
+        # farthest light sample). A block is swept if ANY ray's cone can
+        # reach it — shadow cones toward compact lights are tight, so
+        # most blocks skip even on incoherent bounces.
+        cones = [(_ray_cone(hp, wi, extra_ro=km.RAY_OFFSET),
+                  jnp.max(jnp.where(jnp.isnan(tmax), np.float32(np.inf),
+                                    tmax))) for wi, tmax in rays]
+
+        def union_pred(b):
+            def pred(i):
+                h = None
+                for cone, tm in cones:
+                    hk = _cone_hits_block(cone, b, i, tmax=tm)
+                    h = hk if h is None else (h | hk)
+                return h
+            return pred
+
+        preds = [union_pred(b) if b is not None else None for b in bounds]
 
     def planar_body(tri):
         ref = tri_ref if tri else rect_ref
@@ -380,8 +565,10 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
             return tuple(out)
         return body
 
-    hits = _fori(counts["tri"], planar_body(True), hits)
-    hits = _fori(counts["rect"], planar_body(False), hits)
+    hits = _fori_culled(counts["tri"], planar_body(True), hits,
+                        preds[0])
+    hits = _fori_culled(counts["rect"], planar_body(False), hits,
+                        preds[1])
 
     def disk_body(s, hs):
         n = V3(disk_ref[s, DG_NX], disk_ref[s, DG_NY], disk_ref[s, DG_NZ])
@@ -403,7 +590,7 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
             out.append(jnp.where(h, one, hs[k]))
         return tuple(out)
 
-    hits = _fori(counts["disk"], disk_body, hits)
+    hits = _fori_culled(counts["disk"], disk_body, hits, preds[2])
     off2 = np.float32(km.RAY_OFFSET * km.RAY_OFFSET)
 
     def sph_body(s, hs):
@@ -430,7 +617,7 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
             out.append(jnp.where(h, one, hs[k]))
         return tuple(out)
 
-    hits = _fori(counts["sphere"], sph_body, hits)
+    hits = _fori_culled(counts["sphere"], sph_body, hits, preds[3])
     return [h != 0 for h in hits]
 
 
@@ -475,6 +662,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     env_i = next((i for i, lt in enumerate(lights)
                   if lt["kind"] == klights.ENV), None)
     use_sobol = cfg.sampler == "sobol"
+    use_hash = cfg.sampler == "hash"
     # robust shadow mode: per-light (table, row) of its own geometry
     own_geo = None
     if cfg.shadow == "robust":
@@ -485,13 +673,23 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 own_of_light[li] = static["table_of_row"].get(m)
         own_geo = [own_of_light.get(i) for i in range(L)]
 
+    use_cull = cfg.cull != "off"
+
     def kernel(seed_ref, tri_ref, rect_ref, disk_ref, sph_ref,
-               light_emit_ref, env_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               *out_refs):
+               *rest_refs):
+        out_refs = list(rest_refs)
+        if use_cull:
+            # per-UNROLL-block bounding spheres (SMEM) for the cone cull
+            bounds = tuple(
+                (out_refs.pop(0) if counts[k] else None)
+                for k in ("tri", "rect", "disk", "sphere"))
+        else:
+            bounds = None
+        (light_emit_ref, env_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = out_refs[:8]
+        out_refs = out_refs[8:]
         refs = (tri_ref, rect_ref, disk_ref, sph_ref)
-        out_refs = list(out_refs)
-        if use_sobol:
+        if use_sobol or use_hash:
             # per-lane sample-index / pixel-id planes precede the outputs
             si_ref = out_refs.pop(0)
             pix_ref = out_refs.pop(0)
@@ -501,6 +699,11 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             rng = wf._Rng(tile_seed, False,
                           sobol=(si_ref[:],
                                  wf._pix_hash(pix_ref[:], seed_ref[0])))
+        elif use_hash:
+            # mesh-invariant stateless streams (see wavefront._Rng)
+            lane_seed = wf._pix_hash(si_ref[:],
+                                     wf._pix_hash(pix_ref[:], seed_ref[0]))
+            rng = wf._Rng(lane_seed, False, per_lane=True)
         else:
             if hw_rng:
                 pltpu.prng_seed(tile_seed)
@@ -532,7 +735,27 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             return b if a is None else a + b
 
         for bounce in range(cfg.max_depth + 1):
-            cy = _closest_hit_tables(refs, counts, o, d)
+            # whole-tile dead skip: path death is spatially clustered
+            # (sky/miss regions of the film die together) and lanes are
+            # pixel-ordered, so whole tiles go dead early — skip their
+            # sweeps entirely (alive fractions measured on random_spheres:
+            # 0.64/0.23/0.13/0.08 at bounces 0-3)
+            # the cone cull only pays for itself on COHERENT rays; after
+            # bounce 0 directions are hemispherical (obtuse cones test
+            # every block and the 129 scalar tests are pure overhead —
+            # measured net-negative), so cull only the primary sweep
+            b_bounds = bounds if bounce == 0 else None
+            if bounce == 0:
+                cy = _closest_hit_tables(refs, counts, o, d,
+                                         bounds=b_bounds)
+            else:
+                any_alive = jnp.max(jnp.where(alive, np.float32(1.0),
+                                              np.float32(0.0))) > 0.0
+                cy = jax.lax.cond(
+                    any_alive,
+                    lambda _: _closest_hit_tables(refs, counts, o, d,
+                                                  bounds=b_bounds),
+                    lambda _: _Carry.init(o.x.shape), None)
             (t, nx, ny, nz, difx, dify, difz, spcx, spcy, spcz,
              emix, emiy, emiz, kindf, expo, eta, sprob, dprob, lixf,
              rowf) = cy
@@ -651,10 +874,27 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 azim = (cphi_s, wf._sin_from_phi_cos(cphi_s, u2))
             smps = [wf._light_sample(lt, world_radius, hp, nrm, u1, u2,
                                      azim) for lt in lights]
-            occs = _any_hit_tables(
-                refs, counts, hp, nrm,
-                [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
-                robust=(cfg.shadow == "robust"), own=own_geo)
+            # whole-tile NEE skip mirrors the closest-hit one: if no lane
+            # in this tile does NEE at this bounce, the occlusion sweep
+            # never runs (bool results cross the cond as int32 planes —
+            # Mosaic cannot materialize bool vectors)
+            any_nee = jnp.max(jnp.where(nee_act, np.float32(1.0),
+                                        np.float32(0.0))) > 0.0
+
+            def occ_sweep(_):
+                hs = _any_hit_tables(
+                    refs, counts, hp, nrm,
+                    [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
+                    robust=(cfg.shadow == "robust"), own=own_geo,
+                    bounds=b_bounds)
+                return tuple(jnp.where(h, np.int32(1), np.int32(0))
+                             for h in hs)
+
+            occs_i = jax.lax.cond(
+                any_nee, occ_sweep,
+                lambda _: tuple(jnp.zeros(shp, jnp.int32)
+                                for _ in lights), None)
+            occs = [h != 0 for h in occs_i]
             ld = v3_zeros(o.x)
             if grad:
                 # bounce-local color adjoints (every term of this bounce
@@ -803,9 +1043,9 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
     fixed-seed / advancing-sample-index accumulation convention as the
     baked kernel (wavefront.make_pallas_tracer)."""
     cfg = cfg or wf.KernelConfig()
-    if cfg.sampler not in ("random", "sobol"):
+    if cfg.sampler not in ("random", "sobol", "hash"):
         raise NotImplementedError(
-            "bigscene kernel: sampler must be 'random' or 'sobol'")
+            "bigscene kernel: sampler must be 'random', 'sobol' or 'hash'")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
@@ -821,13 +1061,15 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
     has_env = bool(scene.has_env)
     geo_np = {k: tables[k][0] for k in tables}
     rows_np = {k: tables[k][1] for k in tables}
+    bounds_np = {k: tables[k][2] for k in tables}
+    use_cull = cfg.cull != "off"
     geo_cols = {"tri": PLANAR_GEO_COLS, "rect": PLANAR_GEO_COLS,
                 "disk": DISK_GEO_COLS, "sphere": SPHERE_GEO_COLS}
     total_bytes = sum(
         g.shape[0] * (g.shape[1] + MAT_COLS) * 4 for g in geo_np.values())
     table_space = pltpu.SMEM if total_bytes <= SMEM_TABLE_LIMIT \
         else pltpu.VMEM
-    use_sobol = cfg.sampler == "sobol"
+    use_sobol = cfg.sampler in ("sobol", "hash")  # kernel takes si/pix
 
     @jax.jit
     def trace(scene, o, d, seed, si=None, pix=None):
@@ -856,12 +1098,16 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
             tabs.append(jnp.concatenate([g, m], axis=-1) if g.shape[0]
                         else jnp.zeros((UNROLL, geo_cols[k] + MAT_COLS),
                                        jnp.float32))
+        bnds = [jnp.asarray(bounds_np[k])
+                for k in ("tri", "rect", "disk", "sphere")
+                if counts[k]] if use_cull else []
 
         blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
                                  memory_space=pltpu.SMEM)
         tab_spec = [pl.BlockSpec(memory_space=table_space) for _ in tabs]
+        bnd_spec = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in bnds]
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         light_emit = (scene.lights.emit if n_lights
                       else jnp.zeros((1, 3), jnp.float32))
@@ -870,13 +1116,15 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
         out = pl.pallas_call(
             kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
-        )(seed_arr, *tabs, light_emit, env, ox, oy, oz, dx, dy, dz, *extra)
+        )(seed_arr, *tabs, *bnds, light_emit, env, ox, oy, oz, dx, dy, dz,
+          *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
@@ -906,9 +1154,9 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     nondifferentiable and must be identical between forward and backward
     (the replay backward re-draws the same Owen-Sobol stream from them)."""
     cfg = cfg or wf.KernelConfig()
-    if cfg.sampler not in ("random", "sobol"):
+    if cfg.sampler not in ("random", "sobol", "hash"):
         raise NotImplementedError(
-            "bigscene kernel: sampler must be 'random' or 'sobol'")
+            "bigscene kernel: sampler must be 'random', 'sobol' or 'hash'")
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
@@ -926,6 +1174,8 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     m_rows = int(scene.mat_kind.shape[0])
     geo_np = {k: tables[k][0] for k in tables}
     rows_np = {k: tables[k][1] for k in tables}
+    bounds_np = {k: tables[k][2] for k in tables}
+    use_cull = cfg.cull != "off"
     geo_cols = {"tri": PLANAR_GEO_COLS, "rect": PLANAR_GEO_COLS,
                 "disk": DISK_GEO_COLS, "sphere": SPHERE_GEO_COLS}
     total_bytes = sum(
@@ -963,12 +1213,17 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                                        jnp.float32))
         return tabs
 
+    bnds = [jnp.asarray(bounds_np[k])
+            for k in ("tri", "rect", "disk", "sphere")
+            if counts[k]] if use_cull else []
+    bnd_spec = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in bnds]
+
     def _grid_of(n):
         tile = cfg.rows * LANE
         npad = ((n + tile - 1) // tile) * tile
         return npad, npad // tile
 
-    use_sobol = cfg.sampler == "sobol"
+    use_sobol = cfg.sampler in ("sobol", "hash")  # kernel takes si/pix
 
     def _planes(v, n, npad, rows):
         pad = jnp.zeros((npad - n,), jnp.float32)
@@ -1008,6 +1263,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
@@ -1015,7 +1271,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission),
+          *_tabs(diffuse, specular, emission), *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
@@ -1048,6 +1304,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         dout, rows_out = pl.pallas_call(
             bwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+            + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra)
             + [blk, blk, blk, blk, blk, blk],
@@ -1056,7 +1313,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                        jax.ShapeDtypeStruct((B + 1, rows, LANE), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission),
+          *_tabs(diffuse, specular, emission), *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
         dout = dout.reshape(P, -1)[:, :n]           # (P, n)
