@@ -233,12 +233,13 @@ def extract_tables(scene):
     return static, tables
 
 
-def _mat_cols(scene, rows_np, diffuse=None, specular=None, emission=None):
+def _mat_cols(scene, rows_np, diffuse=None, specular=None, emission=None,
+              exponent=None):
     """Traced (rows, MAT_COLS) material block gathered by surface row.
 
-    diffuse/specular/emission override the scene tables (the diff tracer
-    passes its differentiable arguments here so the gathers are traced
-    functions of them)."""
+    diffuse/specular/emission/exponent override the scene tables (the diff
+    tracer passes its differentiable arguments here so the gathers are
+    traced functions of them)."""
     rows = jnp.asarray(rows_np, jnp.int32)
     npad = rows.shape[0]
     if npad == 0:
@@ -246,12 +247,13 @@ def _mat_cols(scene, rows_np, diffuse=None, specular=None, emission=None):
     diffuse = scene.mat_diffuse if diffuse is None else diffuse
     specular = scene.mat_specular if specular is None else specular
     emission = scene.emission if emission is None else emission
+    exponent = scene.mat_exponent if exponent is None else exponent
     cols = jnp.concatenate([
         diffuse[rows],
         specular[rows],
         emission[rows],
         scene.mat_kind[rows].astype(jnp.float32)[:, None],
-        scene.mat_exponent[rows][:, None],
+        exponent[rows][:, None],
         scene.mat_eta[rows][:, None],
         scene.mat_s_prob[rows][:, None],
         scene.mat_d_prob[rows][:, None],
@@ -663,6 +665,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                   if lt["kind"] == klights.ENV), None)
     use_sobol = cfg.sampler == "sobol"
     use_hash = cfg.sampler == "hash"
+    use_texp = cfg.trainable_exponent
     # robust shadow mode: per-light (table, row) of its own geometry
     own_geo = None
     if cfg.shadow == "robust":
@@ -901,6 +904,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 # attaches to the SAME carried hit row)
                 addc_diff = v3_zeros(o.x)
                 addc_spec = v3_zeros(o.x)
+                addx = jnp.zeros(shp, jnp.float32) if use_texp else None
                 gb = g * beta
             for i, lt in enumerate(lights):
                 emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
@@ -936,6 +940,16 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                             jnp.where(lobe_is_phong, 0.0, addc.z))
                     else:
                         addc_diff = addc_diff + addc
+                    if use_texp:
+                        # d f_unit/d e at the FIXED light-sampled wi
+                        # (wavefront._kappa; same detached-pdf convention
+                        # as wavefront.py's trainable-exponent replay)
+                        kap = wf._kappa(expo, wo_l, wi_l)
+                        dsum = (addc.x * col_nee_tbl.x
+                                + addc.y * col_nee_tbl.y
+                                + addc.z * col_nee_tbl.z)
+                        addx = addx + jnp.where(lobe_is_phong, dsum * kap,
+                                                0.0)
             big_l = big_l + beta * ld
             if grad:
                 e_term = e_term + ld
@@ -994,9 +1008,19 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                         jnp.where(to_spec_t, 0.0, addt.z))
                 else:
                     addc_diff = addc_diff + addt
+                if use_texp:
+                    # phong extension throughput: dT/de = T * kappa at the
+                    # fixed sampled wi (pdf detached — a replayed number)
+                    kap_s = wf._kappa(expo, wo_l, wi_l)
+                    dsum_t = (addt.x * col_nee_tbl.x
+                              + addt.y * col_nee_tbl.y
+                              + addt.z * col_nee_tbl.z)
+                    addx = addx + jnp.where(lobe_is_phong, dsum_t * kap_s,
+                                            0.0)
                 dplanes.extend([addc_diff.x, addc_diff.y, addc_diff.z,
                                 addc_spec.x, addc_spec.y, addc_spec.z,
-                                de_b.x, de_b.y, de_b.z])
+                                de_b.x, de_b.y, de_b.z]
+                               + ([addx] if use_texp else []))
                 r_tail = r_next
 
             o = wf._offset_origin(hp, nrm, wi_w).where(alive_n, o)
@@ -1183,7 +1207,9 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     table_space = pltpu.SMEM if total_bytes <= SMEM_TABLE_LIMIT \
         else pltpu.VMEM
     B = cfg.max_depth            # bounces with extension terms
-    P = 9 * B + 6 + 3 * L        # dout planes (see _make_kernel grad doc)
+    use_texp = cfg.trainable_exponent
+    PB = 10 if use_texp else 9   # per-bounce planes (dd ds de [dx])
+    P = PB * B + 6 + 3 * L       # dout planes (see _make_kernel grad doc)
     light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
         if n_lights else []
     light_kinds = [int(v) for v in np.asarray(scene.lights.kinds)] \
@@ -1203,11 +1229,12 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                 emit = emit.at[i].set(env)
         return emit
 
-    def _tabs(diffuse, specular, emission):
+    def _tabs(diffuse, specular, emission, exponent):
         tabs = []
         for k in ("tri", "rect", "disk", "sphere"):
             g = jnp.asarray(geo_np[k])
-            m = _mat_cols(scene, rows_np[k], diffuse, specular, emission)
+            m = _mat_cols(scene, rows_np[k], diffuse, specular, emission,
+                          exponent)
             tabs.append(jnp.concatenate([g, m], axis=-1) if g.shape[0]
                         else jnp.zeros((UNROLL, geo_cols[k] + MAT_COLS),
                                        jnp.float32))
@@ -1247,12 +1274,13 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         return blk, smem, tab_spec
 
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, env, o, d, seed,
+    def trace(diffuse, specular, emission, exponent, env, o, d, seed,
               si=None, pix=None):
-        return _fwd_impl(diffuse, specular, emission, env, o, d, seed,
-                         si, pix)
+        return _fwd_impl(diffuse, specular, emission, exponent, env, o, d,
+                         seed, si, pix)
 
-    def _fwd_impl(diffuse, specular, emission, env, o, d, seed, si, pix):
+    def _fwd_impl(diffuse, specular, emission, exponent, env, o, d, seed,
+                  si, pix):
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
@@ -1271,21 +1299,22 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                        for _ in range(3)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission), *bnds,
+          *_tabs(diffuse, specular, emission, exponent), *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 
-    def _fwd(diffuse, specular, emission, env, o, d, seed,
+    def _fwd(diffuse, specular, emission, exponent, env, o, d, seed,
              si=None, pix=None):
-        big_l = _fwd_impl(diffuse, specular, emission, env, o, d, seed,
-                          si, pix)
-        return big_l, (diffuse, specular, emission, env, o, d, seed,
-                       si, pix, big_l)
+        big_l = _fwd_impl(diffuse, specular, emission, exponent, env, o,
+                          d, seed, si, pix)
+        return big_l, (diffuse, specular, emission, exponent, env, o, d,
+                       seed, si, pix, big_l)
 
     def _bwd(res, g):
-        diffuse, specular, emission, env, o, d, seed, si, pix, big_l = res
+        (diffuse, specular, emission, exponent, env, o, d, seed, si, pix,
+         big_l) = res
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
@@ -1313,35 +1342,50 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                        jax.ShapeDtypeStruct((B + 1, rows, LANE), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission), *bnds,
+          *_tabs(diffuse, specular, emission, exponent), *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
         dout = dout.reshape(P, -1)[:, :n]           # (P, n)
         sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n), 0 = miss
 
-        # per-bounce 9-column contribution rows -> segment-sum by sid+1
-        data = [dout[9 * b:9 * b + 9].T for b in range(B)]
+        # per-bounce PB-column contribution rows -> segment-sum by sid+1
+        data = [dout[PB * b:PB * b + PB].T for b in range(B)]
         horizon = jnp.concatenate(
-            [jnp.zeros((n, 6), jnp.float32), dout[9 * B:9 * B + 3].T],
+            [jnp.zeros((n, 6), jnp.float32), dout[PB * B:PB * B + 3].T]
+            + ([jnp.zeros((n, 1), jnp.float32)] if use_texp else []),
             axis=-1)
         data.append(horizon)
-        flat = jnp.concatenate(data, axis=0)                 # ((B+1)*n, 9)
+        flat = jnp.concatenate(data, axis=0)              # ((B+1)*n, PB)
         ids = sid1.reshape(-1)
         seg = jax.ops.segment_sum(flat, ids, num_segments=m_rows + 1)[1:]
         dd, ds, de = seg[:, 0:3], seg[:, 3:6], seg[:, 6:9]
-        denv = dout[9 * B + 3:9 * B + 6].sum(axis=-1)
+        dxp = seg[:, 9] if use_texp else None
+        denv = dout[PB * B + 3:PB * B + 6].sum(axis=-1)
         for i in range(L):
-            dle = dout[9 * B + 6 + 3 * i:9 * B + 9 + 3 * i].sum(axis=-1)
+            dle = dout[PB * B + 6 + 3 * i:PB * B + 9 + 3 * i].sum(axis=-1)
             r = light_rows[i] if i < len(light_rows) else -1
             if r >= 0:
                 de = de.at[r].add(dle)
             elif i < len(light_kinds) and light_kinds[i] == klights.ENV:
                 denv = denv + dle
-        return dd, ds, de, denv, None, None, None, None, None
+        dxp = dxp if use_texp else jnp.zeros_like(exponent)
+        return (dd, ds, de, dxp, denv,
+                None, None, None, None, None)
 
     trace.defvjp(_fwd, _bwd)
-    _TRACER_MEMO[memo_key] = trace
-    return trace
+    if use_texp:
+        public = trace
+    else:
+        # keep the historical signature when exponents are not trainable
+        exp_const = jnp.asarray(scene.mat_exponent)
+
+        def public(diffuse, specular, emission, env, o, d, seed,
+                   si=None, pix=None):
+            return trace(diffuse, specular, emission, exp_const, env,
+                         o, d, seed, si, pix)
+
+    _TRACER_MEMO[memo_key] = public
+    return public
 
 
 def render_bigscene(scene, spp: int = 16, seed: int = 1234,

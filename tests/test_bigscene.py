@@ -109,6 +109,7 @@ def test_tables_any_hit_matches_baked(scene, rays):
         np.testing.assert_array_equal(np.asarray(ht), np.asarray(hb))
 
 
+@pytest.mark.slow
 def test_bigscene_matches_baked_same_draws():
     """Same scene, same RNG stream: the table kernel and the baked kernel
     agree lane-by-lane up to fp reassociation (rare decision-boundary
@@ -128,6 +129,7 @@ def test_bigscene_matches_baked_same_draws():
     assert np.abs(lb - lk).max() < 1e-3, np.abs(lb - lk).max()
 
 
+@pytest.mark.slow
 def test_bigscene_render_matches_fast():
     """Statistical: interpret-mode table kernel vs the fast integrator."""
     from kytpu.integrator.fast import FastConfig
@@ -144,6 +146,7 @@ def test_bigscene_render_matches_fast():
     assert err < 0.03, err
 
 
+@pytest.mark.slow
 def test_bigscene_grad_matches_fd():
     """Path-replay backward of the table kernel vs central finite
     differences of the SAME deterministic pallas forward."""
@@ -184,6 +187,7 @@ def test_bigscene_grad_matches_fd():
     assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
 
 
+@pytest.mark.slow
 def test_bigscene_grad_matches_baked():
     """Same scene, same RNG stream: table-kernel gradients == baked-kernel
     replay gradients (up to fp reassociation in the row reductions)."""
@@ -231,6 +235,7 @@ def test_bigscene_rejects_textured():
         bs.extract_tables(scene)
 
 
+@pytest.mark.slow
 def test_bigscene_sobol_matches_baked_same_draws():
     """In-kernel Owen-Sobol: the table kernel and the baked kernel draw
     identical (0,2)-streams from the same (seed, sample index, pixel id),
@@ -255,6 +260,7 @@ def test_bigscene_sobol_matches_baked_same_draws():
     assert np.abs(lb2 - lb).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_bigscene_sobol_grad_matches_fd():
     """Sobol replay backward: gradients vs central finite differences of
     the same deterministic (fixed si/pix) pallas forward."""
@@ -292,3 +298,41 @@ def test_bigscene_sobol_grad_matches_fd():
         assert np.isfinite(ad) and np.isfinite(fd), (argi, idx, ad, fd)
         assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (argi, idx, ad, fd)
     assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
+
+
+@pytest.mark.slow
+def test_bigscene_exponent_grad_matches_baked():
+    """Trainable-exponent adjoint of the table kernel == the baked
+    kernel's (FD-tested) replay exponent gradient, same RNG stream.
+    Verified 2026-08-20: bitwise-equal values on the Cornell glossy
+    floor (9.773039e-07)."""
+    scene = builders.cornell_box(width=12, height=12)
+    cfg = wf.KernelConfig(max_depth=3, rows=8, trainable_exponent=True)
+    big = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+    baked = wf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                       backward="replay")
+    n = 144
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 12).astype(jnp.float32) + 0.5
+    py = (pid // 12).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    env0 = (scene.env_radiance_ if scene.has_env
+            else jnp.zeros(3, jnp.float32))
+    exp0 = jnp.asarray(scene.mat_exponent)
+
+    grads = {}
+    for name, tr in (("big", big), ("baked", baked)):
+        def loss(exponent, tr=tr):
+            return jnp.mean(tr(scene.mat_diffuse, scene.mat_specular,
+                               scene.emission, exponent, env0, o, d,
+                               jnp.int32(5)))
+        grads[name] = np.asarray(jax.grad(loss)(exp0))
+    # nonzero exactly on the plastic row(s), equal across kernels
+    kinds = np.asarray(scene.mat_kind)
+    for i, k in enumerate(kinds):
+        from kytpu import bsdf as kbsdf
+        if int(k) != kbsdf.MAT_PLASTIC:
+            assert grads["big"][i] == 0.0
+    assert np.any(grads["big"] != 0.0)
+    np.testing.assert_allclose(grads["big"], grads["baked"],
+                               rtol=1e-5, atol=1e-12)

@@ -171,6 +171,7 @@ def test_light_sample_pdf_match(scene):
                                    rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_render_matches_fast():
     """Statistical: interpret-mode megakernel render vs fast integrator."""
     from kytpu.integrator.fast import FastConfig
@@ -187,6 +188,7 @@ def test_kernel_render_matches_fast():
     assert err < 0.03, err
 
 
+@pytest.mark.slow
 def test_prb_gradients_match_fd():
     """Path-replay backward vs central finite differences of the SAME
     deterministic pallas forward (fixed seed => exact agreement up to f32)."""
@@ -250,6 +252,7 @@ def test_pallas_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_pallas_train_step_with_exponent():
     """make_train_step(engine="pallas", names=...+mat_exponent) routes
     through the trainable-exponent replay kernel and reduces loss, moving
@@ -277,6 +280,7 @@ def test_pallas_train_step_with_exponent():
     assert np.isfinite(g).all()
 
 
+@pytest.mark.slow
 def test_single_light_nee_matches_all():
     """nee="single" (uniform pick x L compensation) converges to nee="all"."""
     scene = builders.veach_mis(width=24, height=15)
@@ -291,6 +295,7 @@ def test_single_light_nee_matches_all():
     assert np.isfinite(s).all()
 
 
+@pytest.mark.slow
 def test_single_light_nee_sobol_cycles_lights():
     """Under the sobol sampler the seed is FIXED across passes, so the
     single-NEE light pick must rotate with the sample index (stratified
@@ -316,6 +321,7 @@ def test_single_light_nee_sobol_cycles_lights():
     assert rel.mean() < 0.35, rel.mean()
 
 
+@pytest.mark.slow
 def test_trainable_exponent_without_glossy_scene():
     """cfg.trainable_exponent keys the tracer SIGNATURE on the cfg alone:
     a scene with no glossy material still takes the exponent argument and
@@ -342,6 +348,7 @@ def test_trainable_exponent_without_glossy_scene():
     np.testing.assert_array_equal(g, 0.0)
 
 
+@pytest.mark.slow
 def test_prb_gradients_env_scene():
     """PRB replay handles the environment-light branch, including the
     d/d env_radiance adjoint (miss-emission term + env NEE)."""
@@ -443,6 +450,7 @@ def test_sobol_kernel_render_matches_fast():
     assert err < 0.03, err
 
 
+@pytest.mark.slow
 def test_sobol_prb_gradients():
     """Replay backward re-draws the identical Owen-Sobol stream from
     (seed, sample index, pixel id): residual and replay backwards agree,
@@ -491,6 +499,7 @@ def test_sobol_prb_gradients():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_trainable_exponent_forward_and_grad():
     """KernelConfig(trainable_exponent=True): the forward matches the
     baked-exponent kernel, and d/d exponent matches central FD exactly.
@@ -569,6 +578,7 @@ def test_trainable_exponent_forward_and_grad():
     np.testing.assert_allclose(ads[0], ads[1], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_residual_backward_matches_replay():
     """The coefficient-cache backward (backward="residual") and the
     path-replay backward (backward="replay") are two algebraic routes to
