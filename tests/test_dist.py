@@ -81,6 +81,7 @@ def test_sharded_pallas_render(scene):
     assert img.mean() > 0.005
 
 
+@pytest.mark.slow
 def test_sharded_pallas_sobol_mesh_invariant(scene):
     """With the in-kernel Owen-Sobol sampler every draw is a pure function
     of (seed, pixel, sample, site), so the sharded megakernel image is
@@ -126,6 +127,7 @@ def test_sharded_pallas_default_mesh_invariant(scene):
     np.testing.assert_allclose(imgs[0], single, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_bigscene_render():
     """Table-driven megakernel inside shard_map: auto-routed past 64
     surfaces; sobol mode stays mesh-invariant and matches the
