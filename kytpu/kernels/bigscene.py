@@ -623,8 +623,41 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
     return [h != 0 for h in hits]
 
 
+def _bigres_layout(cfg: wf.KernelConfig, L: int, has_env: bool):
+    """Plane order of the table kernel's coefficient cache (the residual
+    backward's input; the bigscene analog of wavefront._residual_layout).
+    Per shading bounce: "wb" (emission-MIS weight, fully masked), "wenv"
+    (env scenes), one "B" per NEE light ("Bk" kappa partners with
+    trainable exponents), "tu"/"tuk", and the hit's RAW table colors
+    "dif"/"spc"/"emi" (3 planes each) — at thousands of surface rows the
+    backward cannot re-select them from tables, so the forward caches the
+    VALUES. The horizon bounce stores only wb/wenv/emi. The per-bounce
+    int plane packs (row+1) | phong<<20 | to_spec<<21."""
+    texp = cfg.trainable_exponent
+    tags = []
+    for b in range(cfg.max_depth + 1):
+        tags.append(("wb", b))
+        if has_env:
+            tags.append(("wenv", b))
+        for c in range(3):
+            tags.append(("emi", b, c))
+        if b < cfg.max_depth:
+            for i in range(L):
+                tags.append(("B", b, i))
+                if texp:
+                    tags.append(("Bk", b, i))
+            tags.append(("tu", b))
+            if texp:
+                tags.append(("tuk", b))
+            for c in range(3):
+                tags.append(("dif", b, c))
+            for c in range(3):
+                tags.append(("spc", b, c))
+    return {t: i for i, t in enumerate(tags)}, len(tags)
+
+
 def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
-                 grad: bool = False):
+                 grad: bool = False, residual: bool = False):
     """Forward transport over the geometry/material tables — the
     single-sample-MIS estimator of wavefront._make_kernel (ky.cpp
     path_tracing_iteration_t semantics) with every per-surface-row select
@@ -722,6 +755,11 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             row_planes = []       # per-bounce sid+1 int32 planes
             acc_env = None
             acc_le = [None] * L   # per-light d light_emit
+        elif residual:
+            lx_ref, ly_ref, lz_ref, resf_ref, resi_ref = out_refs
+            res_ix, res_n = _bigres_layout(cfg, L, env_i is not None)
+            res_planes = [None] * res_n
+            res_ints = [None] * (cfg.max_depth + 1)
         else:
             lx_ref, ly_ref, lz_ref = out_refs
 
@@ -796,6 +834,11 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 # d emission[row] of the hit-emission term
                 wbm = jnp.where(emit_mask, wb, 0.0)
                 de_b = g * beta * wbm
+            elif residual:
+                res_planes[res_ix[("wb", bounce)]] = \
+                    jnp.where(emit_mask, wb, 0.0)
+                for c, v in enumerate((emix, emiy, emiz)):
+                    res_planes[res_ix[("emi", bounce, c)]] = v
 
             if env_i is not None:
                 env = V3(env_ref[0, 0] * jnp.ones(shp, jnp.float32),
@@ -813,6 +856,8 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 big_l = big_l + beta * env * wenv
                 if grad:
                     acc_env = v3add(acc_env, g * beta * wenv)
+                elif residual:
+                    res_planes[res_ix[("wenv", bounce)]] = wenv
 
             if grad:
                 row_planes.append((rowf.astype(jnp.int32) + np.int32(1))
@@ -820,6 +865,10 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             if bounce == cfg.max_depth:
                 if grad:
                     dplanes.extend([de_b.x, de_b.y, de_b.z])
+                if residual:
+                    res_ints[bounce] = \
+                        (rowf.astype(jnp.int32) + np.int32(1)) \
+                        * valid.astype(jnp.int32)
                 continue
             cont = alive & valid
 
@@ -923,6 +972,12 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 okf = jnp.where(ok & ~occs[i], w, 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 ld = ld + col_nee_tbl * emit_l * bp
+                if residual:
+                    res_planes[res_ix[("B", bounce, i)]] = bp
+                    if use_texp:
+                        res_planes[res_ix[("Bk", bounce, i)]] = jnp.where(
+                            lobe_is_phong,
+                            bp * wf._kappa(expo, wo_l, wi_l), 0.0)
                 if grad:
                     # d light emission (linear in Li; routed to the light's
                     # emitting surface row / env leaf by the caller)
@@ -976,6 +1031,30 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             else:
                 scale = np.float32(1.0)
                 alive_n = ok
+
+            if residual:
+                t_unit = f_unit_s * wf._safe_div(jnp.abs(wi_l.z),
+                                                 pdf_s) * scale
+                tu_plane = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
+                res_planes[res_ix[("tu", bounce)]] = tu_plane
+                if use_texp:
+                    res_planes[res_ix[("tuk", bounce)]] = jnp.where(
+                        lobe_is_phong,
+                        tu_plane * wf._kappa(expo, wo_l, wi_l), 0.0)
+                for c, v in enumerate((difx, dify, difz)):
+                    res_planes[res_ix[("dif", bounce, c)]] = v
+                for c, v in enumerate((spcx, spcy, spcz)):
+                    res_planes[res_ix[("spc", bounce, c)]] = v
+                if has_delta or has_plastic:
+                    to_spec_res = (is_mirror | (is_glass & ~glass_refract)
+                                   | lobe_is_phong)
+                else:
+                    to_spec_res = valid & ~valid   # statically false
+                res_ints[bounce] = (
+                    (rowf.astype(jnp.int32) + np.int32(1))
+                    * valid.astype(jnp.int32)
+                    + lobe_is_phong.astype(jnp.int32) * np.int32(1 << 20)
+                    + to_spec_res.astype(jnp.int32) * np.int32(1 << 21))
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1045,6 +1124,119 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
             lz_ref[:] = big_l.z
+            if residual:
+                assert all(pp is not None for pp in res_planes), \
+                    [t for t, k in res_ix.items() if res_planes[k] is None]
+                resf_ref[:] = jnp.stack(res_planes, axis=0)
+                resi_ref[:] = jnp.stack(res_ints, axis=0)
+
+    return kernel
+
+
+def _make_res_bwd_kernel(cfg: wf.KernelConfig, L: int, has_env: bool):
+    """Coefficient-cache backward for the table kernel: NO geometry
+    sweeps, NO RNG — pure algebra over the _bigres_layout planes (the
+    bigscene analog of wavefront's residual backward, wavefront.py:2296,
+    emitting row-tagged adjoint planes instead of per-row accumulators).
+    Walks bounces FORWARD carrying (beta, tail radiance); every adjoint
+    term is bilinear in (cached coefficient, cached color, light emit)."""
+    use_texp = cfg.trainable_exponent
+    res_ix, res_n = _bigres_layout(cfg, L, has_env)
+    B = cfg.max_depth
+
+    def kernel(light_emit_ref, env_ref, gx_ref, gy_ref, gz_ref,
+               flx_ref, fly_ref, flz_ref, resf_ref, resi_ref, dout_ref):
+        g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
+        r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
+        shp = g.x.shape
+        beta = v3_full(g.x, 1.0, 1.0, 1.0)
+        dplanes = []
+        acc_env = v3_zeros(g.x)
+        acc_le = [v3_zeros(g.x) for _ in range(L)]
+
+        def rf(tag):
+            return resf_ref[res_ix[tag]]
+
+        for bounce in range(B + 1):
+            ib = resi_ref[bounce]
+            wb = rf(("wb", bounce))
+            emi = V3(rf(("emi", bounce, 0)), rf(("emi", bounce, 1)),
+                     rf(("emi", bounce, 2)))
+            gb = g * beta
+            de_b = gb * wb
+            e_term = emi * wb
+            if has_env:
+                wenv = rf(("wenv", bounce))
+                env = V3(env_ref[0, 0], env_ref[0, 1], env_ref[0, 2])
+                e_term = e_term + env * wenv
+                acc_env = acc_env + gb * wenv
+            if bounce == B:
+                dplanes.extend([de_b.x, de_b.y, de_b.z])
+                continue
+
+            phong = (ib & np.int32(1 << 20)) != 0
+            spec_t = (ib & np.int32(1 << 21)) != 0
+            dif = V3(rf(("dif", bounce, 0)), rf(("dif", bounce, 1)),
+                     rf(("dif", bounce, 2)))
+            spc = V3(rf(("spc", bounce, 0)), rf(("spc", bounce, 1)),
+                     rf(("spc", bounce, 2)))
+            col_nee = spc.where(phong, dif)
+            addc_diff = v3_zeros(g.x)
+            addc_spec = v3_zeros(g.x)
+            addx = jnp.zeros(shp, jnp.float32) if use_texp else None
+            for i in range(L):
+                bp = rf(("B", bounce, i))
+                emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
+                            light_emit_ref[i, 2])
+                e_term = e_term + col_nee * emit_l * bp
+                acc_le[i] = acc_le[i] + gb * col_nee * bp
+                addc = gb * emit_l * bp
+                addc_spec = addc_spec + V3(
+                    jnp.where(phong, addc.x, 0.0),
+                    jnp.where(phong, addc.y, 0.0),
+                    jnp.where(phong, addc.z, 0.0))
+                addc_diff = addc_diff + V3(
+                    jnp.where(phong, 0.0, addc.x),
+                    jnp.where(phong, 0.0, addc.y),
+                    jnp.where(phong, 0.0, addc.z))
+                if use_texp:
+                    bk = rf(("Bk", bounce, i))
+                    addx = addx + (gb.x * emit_l.x * col_nee.x
+                                   + gb.y * emit_l.y * col_nee.y
+                                   + gb.z * emit_l.z * col_nee.z) * bk
+
+            # extension: T_b = ext color (x) tu; peel the tail radiance
+            tu = rf(("tu", bounce))
+            ext_tbl = spc.where(spec_t, dif)
+            t_eff = ext_tbl * tu
+            r_next = V3(wf._safe_div(r_tail.x - e_term.x, t_eff.x),
+                        wf._safe_div(r_tail.y - e_term.y, t_eff.y),
+                        wf._safe_div(r_tail.z - e_term.z, t_eff.z))
+            addt = gb * r_next * tu
+            addc_spec = addc_spec + V3(jnp.where(spec_t, addt.x, 0.0),
+                                       jnp.where(spec_t, addt.y, 0.0),
+                                       jnp.where(spec_t, addt.z, 0.0))
+            addc_diff = addc_diff + V3(jnp.where(spec_t, 0.0, addt.x),
+                                       jnp.where(spec_t, 0.0, addt.y),
+                                       jnp.where(spec_t, 0.0, addt.z))
+            if use_texp:
+                # tuk is pre-masked to phong lanes, whose raw extension
+                # color is the specular table
+                tuk = rf(("tuk", bounce))
+                addx = addx + (gb.x * r_next.x * spc.x
+                               + gb.y * r_next.y * spc.y
+                               + gb.z * r_next.z * spc.z) * tuk
+            dplanes.extend([addc_diff.x, addc_diff.y, addc_diff.z,
+                            addc_spec.x, addc_spec.y, addc_spec.z,
+                            de_b.x, de_b.y, de_b.z]
+                           + ([addx] if use_texp else []))
+            beta = beta * t_eff
+            r_tail = r_next
+
+        dplanes.extend([acc_env.x, acc_env.y, acc_env.z])
+        for i in range(L):
+            dplanes.extend([acc_le[i].x, acc_le[i].y, acc_le[i].z])
+        dout_ref[:] = jnp.stack(dplanes, axis=0)
 
     return kernel
 
@@ -1158,8 +1350,15 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
 
 def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                               interpret: bool = False,
-                              _hash_rng: bool = False):
-    """Differentiable table-kernel tracer (path-replay backward).
+                              _hash_rng: bool = False,
+                              backward: str = "residual"):
+    """Differentiable table-kernel tracer.
+
+    backward="residual" (default): the forward caches the per-bounce
+    transport coefficients (_bigres_layout) and the backward is pure
+    cache algebra — no geometry sweeps at all (the 2x the baked kernel
+    measured for its own residual mode). backward="replay" re-traces the
+    transport on the same RNG stream (no cache memory traffic).
 
     Returns fn(diffuse, specular, emission, env, o, d, seed) -> (N, 3)
     radiance with a custom VJP producing (d_diffuse, d_specular,
@@ -1184,16 +1383,26 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
+    if backward not in ("replay", "residual"):
+        raise ValueError(f"backward must be replay|residual: {backward!r}")
     memo_key = ("bigdiff", wf._static_digest(static), cfg, repr(interpret),
-                _hash_rng)
+                _hash_rng, backward)
     cached = _TRACER_MEMO.get(memo_key)
     if cached is not None:
         return cached
     counts = {k: tables[k][0].shape[0] for k in tables}
     hw = interpret is False and not _hash_rng
-    fwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw)
-    bwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw, grad=True)
+    residual = backward == "residual"
     L = len(static["lights"])
+    res_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
+    fwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw,
+                              residual=residual)
+    if residual:
+        bwd_kernel = _make_res_bwd_kernel(cfg, L, res_env)
+        res_ix, res_n = _bigres_layout(cfg, L, res_env)
+    else:
+        bwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw,
+                                  grad=True)
     n_lights = int(scene.n_lights)
     m_rows = int(scene.mat_kind.shape[0])
     geo_np = {k: tables[k][0] for k in tables}
@@ -1279,8 +1488,12 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         return _fwd_impl(diffuse, specular, emission, exponent, env, o, d,
                          seed, si, pix)
 
+    def _stk_spec(nplanes):
+        return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                            lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
     def _fwd_impl(diffuse, specular, emission, exponent, env, o, d, seed,
-                  si, pix):
+                  si, pix, want_res=False):
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
@@ -1288,65 +1501,100 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
+        res_specs, res_shapes = [], []
+        if residual:
+            res_specs = [_stk_spec(res_n), _stk_spec(cfg.max_depth + 1)]
+            res_shapes = [
+                jax.ShapeDtypeStruct((res_n, rows, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((cfg.max_depth + 1, rows, LANE),
+                                     jnp.int32)]
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
             + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
-            out_specs=[blk, blk, blk],
+            out_specs=[blk, blk, blk] + res_specs,
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
-                       for _ in range(3)],
+                       for _ in range(3)] + res_shapes,
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
           *_tabs(diffuse, specular, emission, exponent), *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra)
-        lx, ly, lz = [v.reshape(-1)[:n] for v in out]
-        return jnp.stack([lx, ly, lz], axis=-1)
+        lx, ly, lz = [v.reshape(-1)[:n] for v in out[:3]]
+        big_l = jnp.stack([lx, ly, lz], axis=-1)
+        if want_res:
+            return big_l, out[3], out[4]
+        return big_l
 
     def _fwd(diffuse, specular, emission, exponent, env, o, d, seed,
              si=None, pix=None):
+        if residual:
+            big_l, resf, resi = _fwd_impl(
+                diffuse, specular, emission, exponent, env, o, d, seed,
+                si, pix, want_res=True)
+            return big_l, (diffuse, specular, emission, exponent, env, o,
+                           d, seed, si, pix, big_l, resf, resi)
         big_l = _fwd_impl(diffuse, specular, emission, exponent, env, o,
                           d, seed, si, pix)
         return big_l, (diffuse, specular, emission, exponent, env, o, d,
-                       seed, si, pix, big_l)
+                       seed, si, pix, big_l, None, None)
 
     def _bwd(res, g):
         (diffuse, specular, emission, exponent, env, o, d, seed, si, pix,
-         big_l) = res
+         big_l, resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
         blk, smem, tab_spec = _specs(grid)
-        ox, oy, oz = _planes(o, n, npad, rows)
-        dx, dy, dz = _planes(d, n, npad, rows)
         gx, gy, gz = _planes(g, n, npad, rows)
         flx, fly, flz = _planes(big_l, n, npad, rows)
-        extra = _iplanes(si, pix, n, npad, rows)
 
         def stk(nplanes):
             return pl.BlockSpec((nplanes, cfg.rows, LANE),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
 
-        dout, rows_out = pl.pallas_call(
-            bwd_kernel, grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
-            + bnd_spec
-            + [smem((max(n_lights, 1), 3)), smem((1, 3)),
-               blk, blk, blk, blk, blk, blk] + [blk] * len(extra)
-            + [blk, blk, blk, blk, blk, blk],
-            out_specs=[stk(P), stk(B + 1)],
-            out_shape=[jax.ShapeDtypeStruct((P, rows, LANE), jnp.float32),
-                       jax.ShapeDtypeStruct((B + 1, rows, LANE), jnp.int32)],
-            interpret=interpret,
-        )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission, exponent), *bnds,
-          _light_emit_of(emission, env), env.reshape(1, 3),
-          ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
-        dout = dout.reshape(P, -1)[:, :n]           # (P, n)
-        sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n), 0 = miss
+        if residual:
+            # cache-algebra backward: no geometry, no RNG, no sweeps
+            dout = pl.pallas_call(
+                bwd_kernel, grid=(grid,),
+                in_specs=[smem((max(n_lights, 1), 3)), smem((1, 3)),
+                          blk, blk, blk, blk, blk, blk,
+                          stk(res_n), stk(B + 1)],
+                out_specs=stk(P),
+                out_shape=jax.ShapeDtypeStruct((P, rows, LANE),
+                                               jnp.float32),
+                interpret=interpret,
+            )(_light_emit_of(emission, env), env.reshape(1, 3),
+              gx, gy, gz, flx, fly, flz, resf, resi)
+            dout = dout.reshape(P, -1)[:, :n]
+            sid1 = (resi.reshape(B + 1, -1)[:, :n]
+                    & np.int32((1 << 20) - 1))
+        else:
+            ox, oy, oz = _planes(o, n, npad, rows)
+            dx, dy, dz = _planes(d, n, npad, rows)
+            extra = _iplanes(si, pix, n, npad, rows)
+            dout, rows_out = pl.pallas_call(
+                bwd_kernel, grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
+                + bnd_spec
+                + [smem((max(n_lights, 1), 3)), smem((1, 3)),
+                   blk, blk, blk, blk, blk, blk] + [blk] * len(extra)
+                + [blk, blk, blk, blk, blk, blk],
+                out_specs=[stk(P), stk(B + 1)],
+                out_shape=[jax.ShapeDtypeStruct((P, rows, LANE),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((B + 1, rows, LANE),
+                                                jnp.int32)],
+                interpret=interpret,
+            )(jnp.asarray(seed, jnp.int32).reshape(1),
+              *_tabs(diffuse, specular, emission, exponent), *bnds,
+              _light_emit_of(emission, env), env.reshape(1, 3),
+              ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
+            dout = dout.reshape(P, -1)[:, :n]           # (P, n)
+            sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n)
 
         # per-bounce PB-column contribution rows -> segment-sum by sid+1
         data = [dout[PB * b:PB * b + PB].T for b in range(B)]
