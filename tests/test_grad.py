@@ -115,6 +115,7 @@ def test_grad_phong_exponent_analytic():
     assert float(g2) == 0.0
 
 
+@pytest.mark.slow
 def test_grad_phong_exponent_matches_fd():
     """Render-level exponent gradients match central FD where the detached
     estimator is exactly differentiable: light-strategy NEE (wi sampled on

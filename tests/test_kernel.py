@@ -230,6 +230,7 @@ def test_prb_gradients_match_fd():
     assert any(abs(float(g[a][i])) > 1e-4 for a, i in probes)
 
 
+@pytest.mark.slow
 def test_pallas_train_step_reduces_loss():
     """Inverse rendering through the PRB kernel (interpret mode)."""
     from kytpu.diff import get_params, set_params
@@ -433,6 +434,7 @@ def test_sobol_bit_machinery():
     assert 150 < len(cells) < 256
 
 
+@pytest.mark.slow
 def test_sobol_kernel_render_matches_fast():
     """In-kernel Owen-Sobol render converges to the fast-integrator mean."""
     from kytpu.integrator.fast import FastConfig

@@ -192,6 +192,7 @@ def test_path_fast_agree_on_textured_scene():
     assert err < 0.02, err
 
 
+@pytest.mark.slow
 def test_texture_params_roundtrip_and_grad():
     img = np.full((4, 4, 3), 0.5, np.float32)
     scene = builders.cornell_box(width=16, height=16, floor_checker=True,
@@ -227,6 +228,7 @@ def test_texture_params_roundtrip_and_grad():
         np.testing.assert_allclose(float(fd), gsum, rtol=5e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_megakernel_checker_matches_fast():
     """The megakernel evaluates planar checker textures in-kernel (baked
     anchor + dual-basis uv, SMEM color tables); statistical agreement with
@@ -249,6 +251,7 @@ def test_megakernel_checker_matches_fast():
 
 
 @pytest.mark.parametrize("backward", ["replay", "residual"])
+@pytest.mark.slow
 def test_megakernel_checker_gradients_match_fd(backward):
     """Checker-color adjoints through the megakernel, both backwards:
     AD == central FD of the SAME deterministic kernel forward (the
@@ -329,6 +332,7 @@ def test_pallas_train_step_recovers_checker_colors():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_megakernel_image_matches_fast():
     """The megakernel evaluates small power-of-two image textures
     in-kernel (baked uv dual basis + SMEM texel table, per-texel select
@@ -369,6 +373,7 @@ def test_megakernel_rejects_unsupported_textures():
 
 
 @pytest.mark.parametrize("backward", ["replay", "residual"])
+@pytest.mark.slow
 def test_megakernel_image_gradients_match_fd(backward):
     """Per-texel image-atlas adjoints through the megakernel, both
     backwards: AD == central FD of the SAME deterministic kernel forward.
@@ -428,6 +433,7 @@ def test_megakernel_image_gradients_match_fd(backward):
     np.testing.assert_allclose(gd[img_row], 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pallas_train_step_recovers_image_texels():
     """make_train_step(engine='pallas', names=('tex_image',)) routes
     per-texel gradients through the kernel backward and reduces the loss
