@@ -13,6 +13,8 @@ never changes any lane's radiance.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -243,3 +245,62 @@ def li_path_hybrid(scene, o, d, keys, cfg: kfast.FastConfig,
     # restore original lane order
     out = jnp.zeros((n, 3), f32).at[state["lane"]].set(state["big_l"])
     return out
+
+
+def render_hybrid(scene, spp: int = 16, seed: int = 1234, cfg=None,
+                  clamp: bool = True, rays_per_pass: int = 1 << 20,
+                  kcfg=None, interpret: bool = False):
+    """Full-frame render through the hybrid engine -> (H, W, 3).
+
+    Same chunked-pass structure and RNG construction as the fast engine
+    under integrator.render (per-lane keys folded from (seed, sample,
+    pixel)), so at matched seeds it converges to the same image."""
+    import numpy as np
+
+    from kytpu.core import rng as krng
+
+    cfg = cfg if isinstance(cfg, kfast.FastConfig) else kfast.FastConfig(
+        max_depth=getattr(cfg, "max_depth", 5),
+        sampler=getattr(cfg, "sampler", "random"),
+        shadow=getattr(cfg, "shadow", "parity"))
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    npix = w * h
+    key = krng.root_key(seed)
+    k = max(1, min(spp, rays_per_pass // max(npix, 1)))
+    pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), k)
+    px0 = (pid % w).astype(jnp.float32)
+    py0 = (pid // w).astype(jnp.float32)
+
+    # scene stays a closure constant: the sweep builder extracts host-side
+    # tables from it (concrete values), which a traced argument would break
+    @jax.jit
+    def one_pass(s_base):
+        sid = s_base + jnp.repeat(jnp.arange(k, dtype=jnp.int32), npix)
+        if cfg.sampler == "sobol":
+            keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pid)
+            index = sid
+        else:
+            keys = jax.vmap(
+                lambda s_, p_: jax.random.fold_in(
+                    jax.random.fold_in(key, s_), p_))(sid, pid)
+            index = None
+        # identical construction to render.trace_lanes: camera jitter from
+        # the first split channel, transport keys from the second
+        k_cam, k_path = krng.split_channels(keys, 2)
+        u = krng.uniform2(k_cam, cfg.sampler, index)
+        o, d = kscene.generate_rays(
+            cam, jnp.stack([px0 + u[:, 0], py0 + u[:, 1]], -1))
+        out = li_path_hybrid(scene, o, d, k_path, cfg, index=index,
+                             kcfg=kcfg, interpret=interpret)
+        return out.reshape(k, npix, 3).sum(axis=0)
+
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    s0 = 0
+    while s0 < spp:
+        accum = accum + one_pass(jnp.int32(s0))
+        s0 += k
+    img = (accum / np.float32(spp)).reshape(h, w, 3)
+    if clamp:
+        img = jnp.clip(img, 0.0, 1.0)
+    return img

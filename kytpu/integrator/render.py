@@ -154,6 +154,10 @@ def render(scene, spp: int = 16, seed: int = 1234,
         return kbig.render_bigscene(scene, spp=spp, seed=seed, cfg=kcfg,
                                     clamp=clamp,
                                     rays_per_pass=rays_per_pass)
+    if engine == "hybrid":
+        from kytpu.integrator.hybrid import render_hybrid
+        return render_hybrid(scene, spp=spp, seed=seed, cfg=cfg,
+                             clamp=clamp, rays_per_pass=rays_per_pass)
     if engine == "pallas":
         from kytpu.kernels import wavefront as kwf
         if isinstance(cfg, kwf.KernelConfig):

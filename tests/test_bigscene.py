@@ -369,3 +369,22 @@ def test_bigscene_residual_matches_replay():
     for a, b in zip(gs["residual"], gs["replay"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_hybrid_engine_matches_fast():
+    """Engine #4 (per-bounce Pallas sweeps + fast-engine XLA transport):
+    render(engine="hybrid") equals the fast jnp engine at the same seed to
+    float reassociation — the estimator, RNG construction and chunking are
+    shared; only the geometry primitives differ."""
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.hybrid import render_hybrid
+    from kytpu.integrator.render import render
+    from kytpu.scene import builders
+
+    sc = builders.random_spheres(n=70, width=16, height=16, seed=2)
+    cfg = FastConfig(max_depth=3)
+    a = np.asarray(render(sc, spp=4, seed=9, cfg=cfg, mode="fast",
+                          clamp=False, rays_per_pass=4 * 256))
+    b = np.asarray(render_hybrid(sc, spp=4, seed=9, cfg=cfg, clamp=False,
+                                 interpret=True, rays_per_pass=4 * 256))
+    np.testing.assert_allclose(a, b, atol=2e-5)
