@@ -144,9 +144,9 @@ def extract_tables(scene):
     and textured scenes (route those to the baked kernel / jnp engines).
     """
     if getattr(scene, "has_textures", False):
-        raise NotImplementedError(
-            "the table-driven kernel has no texture path — use the baked "
-            "megakernel or the jnp engines")
+        err = wf._kernel_texture_support(scene)
+        if err:
+            raise NotImplementedError(err)
     static = wf.extract_static(scene)
     tris, rects, disks = [], [], []
     tri_rows, rect_rows, disk_rows = [], [], []
@@ -699,6 +699,12 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     use_sobol = cfg.sampler == "sobol"
     use_hash = cfg.sampler == "hash"
     use_texp = cfg.trainable_exponent
+    tex_recs = static.get("textures", [])
+    img_recs = [r for r in tex_recs if r.get("kind") == "image"]
+    if tex_recs and (grad or residual):
+        raise NotImplementedError(
+            "table-kernel textures are forward-only — differentiate "
+            "textured scenes through the baked megakernel / jnp engines")
     # robust shadow mode: per-light (table, row) of its own geometry
     own_geo = None
     if cfg.shadow == "robust":
@@ -714,6 +720,9 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     def kernel(seed_ref, tri_ref, rect_ref, disk_ref, sph_ref,
                *rest_refs):
         out_refs = list(rest_refs)
+        texa_ref = out_refs.pop(0) if tex_recs else None
+        texb_ref = out_refs.pop(0) if tex_recs else None
+        timg_ref = out_refs.pop(0) if img_recs else None
         if use_cull:
             # per-UNROLL-block bounding spheres (SMEM) for the cone cull
             bounds = tuple(
@@ -874,6 +883,13 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
 
             # material resolution from the carried columns
             diffuse = V3(difx, dify, difz)
+            if tex_recs:
+                # textured rows are FEW even in big scenes: the baked
+                # kernel's static per-rec machinery (wavefront.py:873-996)
+                # applies unchanged, selected by the carried global row
+                diffuse = wf._apply_textures(
+                    static, texa_ref, texb_ref, timg_ref,
+                    rowf.astype(jnp.int32), hp, diffuse)
             specular = V3(spcx, spcy, spcz)
             is_matte = kindf == np.float32(kbsdf.MAT_MATTE)
             is_mirror = kindf == np.float32(kbsdf.MAT_MIRROR)
@@ -1279,6 +1295,10 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
     rows_np = {k: tables[k][1] for k in tables}
     bounds_np = {k: tables[k][2] for k in tables}
     use_cull = cfg.cull != "off"
+    tex_recs = static.get("textures", [])
+    has_img = any(r.get("kind") == "image" for r in tex_recs)
+    n_texels = static.get("n_texels", 0)
+    t_rows = scene.textures.n_textures if tex_recs else 0
     geo_cols = {"tri": PLANAR_GEO_COLS, "rect": PLANAR_GEO_COLS,
                 "disk": DISK_GEO_COLS, "sphere": SPHERE_GEO_COLS}
     total_bytes = sum(
@@ -1317,12 +1337,19 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
         bnds = [jnp.asarray(bounds_np[k])
                 for k in ("tri", "rect", "disk", "sphere")
                 if counts[k]] if use_cull else []
+        tex_in = ([scene.textures.color_a, scene.textures.color_b]
+                  if tex_recs else [])
+        if has_img:
+            tex_in.append(scene.textures.image.reshape(-1, 3))
 
         blk = pl.BlockSpec((cfg.rows, LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         smem = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
                                  memory_space=pltpu.SMEM)
         tab_spec = [pl.BlockSpec(memory_space=table_space) for _ in tabs]
+        tex_spec = ([smem((t_rows, 3)), smem((t_rows, 3))]
+                    if tex_recs else []) \
+            + ([smem((n_texels, 3))] if has_img else [])
         bnd_spec = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in bnds]
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         light_emit = (scene.lights.emit if n_lights
@@ -1332,15 +1359,15 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
         out = pl.pallas_call(
             kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
-            + bnd_spec
+            + tex_spec + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk],
             out_shape=[jax.ShapeDtypeStruct((grid * cfg.rows, LANE),
                                             jnp.float32) for _ in range(3)],
             interpret=interpret,
-        )(seed_arr, *tabs, *bnds, light_emit, env, ox, oy, oz, dx, dy, dz,
-          *extra)
+        )(seed_arr, *tabs, *tex_in, *bnds, light_emit, env,
+          ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out]
         return jnp.stack([lx, ly, lz], axis=-1)
 

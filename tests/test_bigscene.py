@@ -388,3 +388,26 @@ def test_hybrid_engine_matches_fast():
     b = np.asarray(render_hybrid(sc, spp=4, seed=9, cfg=cfg, clamp=False,
                                  interpret=True, rays_per_pass=4 * 256))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_bigscene_textures_match_baked():
+    """In-kernel textures in the TABLE kernel (checker + small pow2 image
+    atlas): bitwise-identical to the baked megakernel at the same draws —
+    the static per-rec texture machinery (wavefront.py:873-996) applies
+    unchanged, selected by the carried global row. Forward-only (the diff
+    tracer raises; textured training routes to the baked kernel)."""
+    import pytest as _pytest
+
+    img = np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+    sc = builders.cornell_box(width=16, height=16, floor_checker=True,
+                              back_image=img)
+    cfg = wf.KernelConfig(max_depth=3, rows=8)
+    a = np.asarray(bs.render_bigscene(sc, spp=8, seed=9, cfg=cfg,
+                                      interpret=True, clamp=False))
+    b = np.asarray(wf.render_pallas(sc, spp=8, seed=9, cfg=cfg,
+                                    interpret=True, clamp=False))
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all() and a.mean() > 0.01
+    with _pytest.raises(NotImplementedError, match="forward-only"):
+        bs.make_bigscene_diff_tracer(sc, cfg, interpret=True)
