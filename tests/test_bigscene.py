@@ -229,10 +229,20 @@ def test_bigscene_grad_matches_baked():
                                rtol=2e-4, atol=2e-6)
 
 
-def test_bigscene_rejects_textured():
-    scene = builders.cornell_box(width=16, height=16, floor_checker=True)
+def test_bigscene_texture_support_boundary():
+    """Kernel-SUPPORTED textures (planar checker, small pow2 image
+    atlases) now extract fine — see test_bigscene_textures_match_baked —
+    while textures the in-kernel machinery cannot evaluate (here: a
+    non-power-of-two image) are still rejected with the baked kernel's
+    reason string."""
+    ok = builders.cornell_box(width=16, height=16, floor_checker=True)
+    bs.extract_tables(ok)   # must not raise
+    import numpy as _np
+    bad = builders.cornell_box(
+        width=16, height=16,
+        back_image=_np.zeros((6, 6, 3), _np.float32))   # not pow2
     with pytest.raises(NotImplementedError):
-        bs.extract_tables(scene)
+        bs.extract_tables(bad)
 
 
 @pytest.mark.slow
