@@ -92,7 +92,7 @@ def li_path_hybrid(scene, o, d, keys, cfg: kfast.FastConfig,
         raise ValueError("hybrid engine: sampler='sobol' needs the "
                          "per-lane sample index")
     kcfg = kcfg or kwf.KernelConfig()
-    closest, any_hit, _ = khyb.make_sweeps(scene, kcfg, interpret)
+    closest, any_hit, _, own_row = khyb.make_sweeps(scene, kcfg, interpret)
 
     n = o.shape[0]
     f32 = o.dtype
@@ -164,7 +164,7 @@ def li_path_hybrid(scene, o, d, keys, cfg: kfast.FastConfig,
         # ---- light-side NEE, batched shadow sweep (fast.py:144-191) ----
         if L:
             contribs = []
-            sh_o, sh_d, sh_t = [], [], []
+            sh_o, sh_d, sh_t, sh_skip = [], [], [], []
             for i, kind in enumerate(scene.lights.kinds):
                 u2 = u[:, 1 + 2 * i:3 + 2 * i]
                 ls = klights.sample_li(scene.lights, i, scene.world_radius,
@@ -190,12 +190,20 @@ def li_path_hybrid(scene, o, d, keys, cfg: kfast.FastConfig,
                 d_from = o_i if cfg.shadow == "robust" else hit.position
                 sh_t.append(km.distance(d_from, ls.position)
                             - km.SHADOW_EPSILON)
+                # robust mode excludes the light's own emitting surface
+                # from the shadow sweep (fast.py skip_row / bigscene
+                # own_geo semantics) — the offset-origin tmax would
+                # otherwise let area lights self-occlude
+                skip_i = own_row.get(i, -1) if cfg.shadow == "robust" \
+                    else -1
+                sh_skip.append(jnp.full((n,), np.float32(skip_i)))
             oc_o = jnp.concatenate(sh_o, 0)
             oc_d = jnp.concatenate(sh_d, 0)
             oc_t = jnp.concatenate(sh_t, 0)
+            oc_skip = jnp.concatenate(sh_skip, 0)
             oc_act = jnp.concatenate(
                 [ok for ok, _ in contribs], 0)
-            occ = any_hit(oc_o, oc_d, oc_t, oc_act).reshape(L, n)
+            occ = any_hit(oc_o, oc_d, oc_t, oc_act, oc_skip).reshape(L, n)
             ld = jnp.zeros((n, 3), f32)
             for i, (ok, c) in enumerate(contribs):
                 ld = ld + jnp.where((ok & ~occ[i])[:, None], c, 0.0)

@@ -77,19 +77,29 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                 interpret: bool = False):
     """Build (closest, any_hit, bind_np) for a table-eligible scene.
 
+    Returns (closest, any_hit, bind_np, own_row).
     closest(o, d, alive) -> (t, packed_row): packed_row indexes the
     CONCATENATED padded table space (tri | rect | disk | sphere); misses
     get -1.  bind_np: host (total+1, BIND_COLS) float32 binding table in
     packed-row order (last row = all-zero miss sentinel) — materials are
     BAKED, so this engine renders but does not differentiate scene
     parameters (use the bigscene diff tracer for training).
-    any_hit(o, d, tmax, alive) -> bool mask, same gates as
-    kytpu.scene.shapes.any_hit (origins already offset by the caller).
+    any_hit(o, d, tmax, alive, skip) -> bool mask, same gates as
+    kytpu.scene.shapes.any_hit (origins already offset by the caller);
+    `skip` is a per-lane packed-row float (-1 = none) excluded from the
+    sweep — the robust shadow mode's own-light-geometry skip
+    (fast.py skip_row / bigscene own_geo semantics).
+    own_row: {light_index: packed row of that light's own geometry}.
     """
     cfg = cfg or wf.KernelConfig()
     if interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = bs.extract_tables(scene)
+    if static.get("textures"):
+        raise NotImplementedError(
+            "hybrid engine: textures are baked nowhere in the binding "
+            "table — use the table kernel / jnp engines for textured "
+            "scenes")
     memo_key = ("hybrid", wf._static_digest(static), cfg.rows, cfg.cull,
                 repr(interpret))
     cached = _SWEEP_MEMO.get(memo_key)
@@ -115,10 +125,17 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
     g = host.geometry
     n_planar = int(g.n_planar)
     bind_np = np.zeros((total + 1, BIND_COLS), np.float32)
+    own_row = {}
+    # REAL (pre-padding) entry count per class — counts[k] is the padded
+    # table height; padding rows must keep all-zero bindings (their
+    # geometry never wins) and must not index g.sp_center.
+    n_real = {k: 0 for k in order}
+    for kname, _ti in static["table_of_row"].values():
+        n_real[kname] += 1
     from kytpu.scene import shapes as kshapes
     for k in order:
         b0 = bases[k]
-        rows = np.asarray(tables[k][1])[:counts[k]]
+        rows = np.asarray(tables[k][1])[:n_real[k]]
         for ti, row in enumerate(rows):
             r = bind_np[b0 + ti]
             if k == "sphere":
@@ -130,6 +147,9 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                 r[B_FLAG] = 1.0 if int(np.asarray(g.pl_kind)[int(row)]) \
                     == kshapes.RECT else 0.0
             r[B_EMIX:B_EMIZ + 1] = np.asarray(host.emission)[int(row)]
+            li = int(np.asarray(host.light_index)[int(row)])
+            if li >= 0 and li not in own_row:
+                own_row[li] = b0 + ti
             r[B_LIX] = float(np.asarray(host.light_index)[int(row)])
             r[B_KIND] = float(np.asarray(host.mat_kind)[int(row)])
             r[B_DIFX:B_DIFZ + 1] = np.asarray(host.mat_diffuse)[int(row)]
@@ -165,7 +185,7 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                 bind_ref = refs.pop(0)
                 (ox, oy, oz, dx, dy, dz, alive_ref, out_ref) = refs
             else:
-                (ox, oy, oz, dx, dy, dz, tm_ref, alive_ref,
+                (ox, oy, oz, dx, dy, dz, tm_ref, skip_ref, alive_ref,
                  h_ref) = refs
             o = V3(ox[:], oy[:], oz[:])
             d = V3(dx[:], dy[:], dz[:])
@@ -259,9 +279,13 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                     # one select sweep for incoherent ones, zero for
                     # dead tiles. ----
                     n_blk = bind_rows // bs.UNROLL
-                    lo = jnp.min(jnp.where(rb < 0.0, np.float32(3e9), rb))
+                    # all-miss sentinel must stay int32-representable:
+                    # a wrapping f32->i32 conversion of 3e9 would spin
+                    # the loop for ~2^31 iterations on all-miss tiles
+                    miss = np.float32(bind_rows)
+                    lo = jnp.min(jnp.where(rb < 0.0, miss, rb))
                     hi = jnp.max(rb)
-                    lo_b = jnp.clip(lo, 0.0, np.float32(3e9)) \
+                    lo_b = jnp.clip(lo, 0.0, miss) \
                         .astype(jnp.int32) // bs.UNROLL
                     lo_b = jnp.minimum(lo_b, np.int32(n_blk))
                     hi_b = jnp.clip((hi.astype(jnp.int32) // bs.UNROLL)
@@ -283,22 +307,28 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                         out_ref[1 + c] = acc[c]
                 else:
                     tmax = tm_ref[:]
+                    skip = skip_ref[:]
                     one = np.float32(1.0)
 
                     def acc(h, hit_row):
                         return jnp.where(hit_row, one, h)
 
-                    def planar_body(tri, ref):
+                    def not_skip(base, s):
+                        return (base + s).astype(jnp.float32) != skip
+
+                    def planar_body(tri, ref, base):
                         def body(s, h):
                             t, inside, _ = bs._planar_row_test(
                                 ref, s, o, d, tri)
-                            return acc(h, inside & (t > eps) & (t < tmax))
+                            return acc(h, inside & (t > eps) & (t < tmax)
+                                       & not_skip(base, s))
                         return body
 
                     def disk_body(s, h):
                         t, inside, _ = bs._disk_row_test(
                             tab_refs[2], s, o, d)
-                        return acc(h, inside & (t > eps) & (t < tmax))
+                        return acc(h, inside & (t > eps) & (t < tmax)
+                                   & not_skip(bases["disk"], s))
 
                     def sph_body(s, h):
                         c, r, cc, neg_b, discr = bs._sphere_row_parts(
@@ -312,14 +342,17 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
                         t2 = jnp.maximum(q, tq)
                         in1 = (t1 > eps) & (t1 < tmax)
                         in2 = (t2 > eps) & (t2 < tmax)
-                        return acc(h, (discr >= 0) & (r > 0) & (in1 | in2))
+                        return acc(h, (discr >= 0) & (r > 0) & (in1 | in2)
+                                   & not_skip(bases["sphere"], s))
 
                     h = jnp.zeros(o.x.shape, jnp.float32)
                     h = bs._fori_culled(counts["tri"],
-                                        planar_body(True, tab_refs[0]),
+                                        planar_body(True, tab_refs[0],
+                                                    bases["tri"]),
                                         h, preds["tri"])
                     h = bs._fori_culled(counts["rect"],
-                                        planar_body(False, tab_refs[1]),
+                                        planar_body(False, tab_refs[1],
+                                                    bases["rect"]),
                                         h, preds["rect"])
                     h = bs._fori_culled(counts["disk"], disk_body, h,
                                         preds["disk"])
@@ -372,21 +405,21 @@ def make_sweeps(scene, cfg: wf.KernelConfig | None = None,
         return flat[0], flat[1:].T
 
     @jax.jit
-    def any_hit(o, d, tmax, alive):
+    def any_hit(o, d, tmax, alive, skip):
         n = o.shape[0]
         npad, grid, rows, blk, tab_spec, bnd_spec = _specs(n)
         args = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                tmax, alive.astype(jnp.float32)]
+                tmax, skip, alive.astype(jnp.float32)]
         planes = [_pad_planes(a, n, npad, rows) for a in args]
         out = pl.pallas_call(
             any_kernel, grid=(grid,),
-            in_specs=tab_spec + bnd_spec + [blk] * 8,
+            in_specs=tab_spec + bnd_spec + [blk] * 9,
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             interpret=interpret,
         )(*tabs, *bnds, *planes)
         return out.reshape(-1)[:n] > 0.0
 
-    out = (closest, any_hit, bind_np)
+    out = (closest, any_hit, bind_np, own_row)
     _SWEEP_MEMO[memo_key] = out
     return out

@@ -400,6 +400,28 @@ def test_hybrid_engine_matches_fast():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+def test_hybrid_engine_cornell_robust_shadow():
+    """Cornell (10 planar + 2 spheres) through the hybrid engine.
+
+    Regression for two round-3 advisor findings: the binding-table build
+    iterated PADDED table rows (sphere padding entries computed a negative
+    index into sp_center -> IndexError on this exact scene), and robust
+    shadow mode never excluded a light's own emitting surface (area-light
+    NEE self-occluded -> darker than the fast engine). Both engines at the
+    same seed, shadow="robust", must agree to float reassociation."""
+    from kytpu.integrator.fast import FastConfig
+    from kytpu.integrator.hybrid import render_hybrid
+    from kytpu.integrator.render import render
+
+    sc = builders.cornell_box(width=12, height=12)
+    cfg = FastConfig(max_depth=3, shadow="robust")
+    a = np.asarray(render(sc, spp=4, seed=5, cfg=cfg, mode="fast",
+                          clamp=False, rays_per_pass=4 * 144))
+    b = np.asarray(render_hybrid(sc, spp=4, seed=5, cfg=cfg, clamp=False,
+                                 interpret=True, rays_per_pass=4 * 144))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_bigscene_textures_match_baked():
     """In-kernel textures in the TABLE kernel (checker + small pow2 image
