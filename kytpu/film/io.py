@@ -22,14 +22,25 @@ except Exception:  # pragma: no cover - absence is fine
 
 
 def write_ppm(path: str, img) -> str:
-    """ASCII P3 PPM, gamma-encoded, same element order as the reference."""
+    """ASCII P3 PPM, gamma-encoded, same element order as the reference
+    (store_ppm_impl, ky.cpp:1646-1659: space-separated decimals, one
+    trailing space). Vectorized: each u8 becomes its decimal digits +
+    ' ' in a (N, 4) byte grid; a boolean mask drops leading zeros, so
+    the whole body is one numpy compaction + tobytes."""
     img = np.asarray(img)
     h, w, _ = img.shape
-    data = gamma_encode(img).reshape(-1)
-    with open(path, "w") as f:
-        f.write(f"P3\n{w} {h}\n255\n")
-        f.write(" ".join(str(int(v)) for v in data))
-        f.write(" ")
+    d = gamma_encode(img).reshape(-1).astype(np.uint32)
+    buf = np.empty((d.shape[0], 4), np.uint8)
+    buf[:, 0] = 48 + d // 100
+    buf[:, 1] = 48 + (d // 10) % 10
+    buf[:, 2] = 48 + d % 10
+    buf[:, 3] = 32
+    keep = np.ones(buf.shape, bool)
+    keep[:, 0] = d >= 100
+    keep[:, 1] = d >= 10
+    with open(path, "wb") as f:
+        f.write(f"P3\n{w} {h}\n255\n".encode())
+        f.write(buf[keep].tobytes())
     return path
 
 

@@ -51,6 +51,18 @@ def test_ppm(tmp_path, img):
     assert (vals == gamma_encode(img).reshape(-1)).all()
 
 
+def test_ppm_bytes_match_naive_join(tmp_path, img):
+    """The vectorized digit-grid writer is byte-identical to the
+    str-join formulation of store_ppm_impl (ky.cpp:1646-1659):
+    space-separated minimal decimals with one trailing space."""
+    p = tmp_path / "x.ppm"
+    fio.write_ppm(str(p), img)
+    data = gamma_encode(img).reshape(-1)
+    naive = ("P3\n23 19\n255\n"
+             + " ".join(str(int(v)) for v in data) + " ").encode()
+    assert p.read_bytes() == naive
+
+
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
 def test_native_matches_numpy(tmp_path, img):
     from kytpu.native import build
