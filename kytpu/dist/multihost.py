@@ -98,6 +98,66 @@ def all_gather_host(arr) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
+def accumulate_tiles(scene, mesh: Mesh, spp_range: tuple[int, int],
+                     seed: int = 1234, cfg=None, mode: str = "path",
+                     aov: str | None = None,
+                     samples_per_chunk: int | None = None, accum=None):
+    """UNNORMALIZED film accumulation over sample ids [s0, s1) on a global
+    mesh -> flat (npad, 3) array sharded P("tile").
+
+    Each lane's radiance depends only on (seed, sample_id, pixel_id), so
+    the accumulation can stop at any sample boundary, be checkpointed with
+    save_film_tiles, and resume ON A DIFFERENT TOPOLOGY (the
+    utils/checkpoint.py contract): pass load_film_tiles' reassembled rows
+    as `accum` together with a NEW mesh and the remaining sample range —
+    the final film is identical to the uninterrupted render as long as the
+    per-chunk sample association (samples_per_chunk) matches. Rows of
+    `accum` beyond the new mesh's padded length are dropped (padding lanes
+    re-render pixel 0.. and are sliced away at normalization).
+    """
+    from kytpu.integrator import path as kpath
+
+    cfg = cfg or kpath.PathConfig()
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    npix = w * h
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    s0, s1 = spp_range
+    if (s1 - s0) % n_spp:
+        raise ValueError(f"sample count {s1 - s0} not divisible by "
+                         f"spp-axis size {n_spp}")
+
+    npad = kshard._pad_to(npix, n_tile)
+    pid_np = (np.arange(npad, dtype=np.int64) % npix).astype(np.int32)
+    px = put_sharded((pid_np % w).astype(np.float32), mesh, P("tile"))
+    py = put_sharded((pid_np // w).astype(np.float32), mesh, P("tile"))
+    pid = put_sharded(pid_np, mesh, P("tile"))
+
+    acc = None
+    if accum is not None:
+        accum = np.asarray(accum, np.float32)
+        acc_np = np.zeros((npad, 3), np.float32)
+        n = min(npad, accum.shape[0])
+        acc_np[:n] = accum[:n]
+        acc = put_sharded(acc_np, mesh, P("tile"))
+
+    key = jax.random.key(seed)
+    k = samples_per_chunk or (s1 - s0)
+    k = max(n_spp, (k // n_spp) * n_spp)
+
+    s = s0
+    while s < s1:
+        kk = min(k, s1 - s)
+        sid = put_sharded(np.arange(s, s + kk, dtype=np.int32),
+                          mesh, P("spp"))
+        part = kshard._render_chunk(scene, key, px, py, pid, sid,
+                                    mesh, cfg, mode, aov)
+        acc = part if acc is None else _add_sharded(acc, part)
+        s += kk
+    return acc
+
+
 def render_multihost(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
                      cfg=None, mode: str = "path", aov: str | None = None,
                      clamp: bool = True,
@@ -110,38 +170,12 @@ def render_multihost(scene, mesh: Mesh, spp: int = 16, seed: int = 1234,
     but all host<->device traffic goes through per-shard callbacks and one
     final tiled allgather, so it runs under any process topology.
     """
-    from kytpu.integrator import path as kpath
-
-    cfg = cfg or kpath.PathConfig()
     cam = scene.camera
     w, h = cam.width, cam.height
     npix = w * h
-    n_tile = mesh.shape["tile"]
-    n_spp = mesh.shape["spp"]
-    if spp % n_spp:
-        raise ValueError(f"spp={spp} not divisible by spp-axis size {n_spp}")
-
-    npad = kshard._pad_to(npix, n_tile)
-    pid_np = (np.arange(npad, dtype=np.int64) % npix).astype(np.int32)
-    px = put_sharded((pid_np % w).astype(np.float32), mesh, P("tile"))
-    py = put_sharded((pid_np // w).astype(np.float32), mesh, P("tile"))
-    pid = put_sharded(pid_np, mesh, P("tile"))
-
-    key = jax.random.key(seed)
-    k = samples_per_chunk or spp
-    k = max(n_spp, (k // n_spp) * n_spp)
-
-    accum = None
-    s0 = 0
-    while s0 < spp:
-        kk = min(k, spp - s0)
-        sid = put_sharded(np.arange(s0, s0 + kk, dtype=np.int32),
-                          mesh, P("spp"))
-        part = kshard._render_chunk(scene, key, px, py, pid, sid,
-                                    mesh, cfg, mode, aov)
-        accum = part if accum is None else _add_sharded(accum, part)
-        s0 += kk
-
+    accum = accumulate_tiles(scene, mesh, (0, spp), seed=seed, cfg=cfg,
+                             mode=mode, aov=aov,
+                             samples_per_chunk=samples_per_chunk)
     flat = all_gather_host(accum)[:npix] / float(spp)
     img = flat.reshape(h, w, 3)
     if clamp:

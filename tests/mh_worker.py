@@ -56,6 +56,10 @@ img_local = np.asarray(render(scene, spp=4, seed=5, cfg=cfg, clamp=False,
                               rays_per_pass=2 * npix))
 res["render_bitwise"] = bool(np.array_equal(img_mh, img_local))
 res["render_maxdiff"] = float(np.abs(img_mh - img_local).max())
+if pid == 0:
+    # the parent compares the reassembled film-tile checkpoint against
+    # this bitwise-verified single-device render
+    np.save(os.path.join(outdir, "img_local.npy"), img_local)
 
 # 2) sharded train step on the global mesh: finite loss, identical across
 # processes (replicated params -> every host holds the same bytes)
