@@ -118,8 +118,22 @@ def make_train_step(scene, target, spp: int = 4,
                                 trainable_exponent=train_exp)
         on_tpu = any("TPU" in getattr(dev, "device_kind", "")
                      for dev in jax.devices())
-        tracer = kwf.make_pallas_diff_tracer(scene, kcfg,
-                                             interpret=not on_tpu)
+        # scene-scale routing (same rule as integrator.render): past ~64
+        # surfaces the baked kernel's compile is O(N) — train through the
+        # table kernel's residual backward instead when eligible
+        # (textured scenes included; its texture adjoints match the baked
+        # kernel's, tests/test_bigscene.py::test_bigscene_texture_gradients)
+        tracer = None
+        if int(scene.mat_kind.shape[0]) > 64:
+            from kytpu.kernels import bigscene as kbig
+            try:
+                tracer = kbig.make_bigscene_diff_tracer(
+                    scene, kcfg, interpret=not on_tpu)
+            except NotImplementedError:
+                tracer = None
+        if tracer is None:
+            tracer = kwf.make_pallas_diff_tracer(scene, kcfg,
+                                                 interpret=not on_tpu)
         npix = w * h
         pid = jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp)
         px0 = (pid % w).astype(jnp.float32)

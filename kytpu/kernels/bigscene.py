@@ -489,7 +489,7 @@ def _closest_hit_tables(refs, counts, o: V3, d: V3, bounds=None):
 
 
 def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
-                    robust: bool = False, own=None, bounds=None):
+                    robust: bool = False, own=None, bounds=None, nd=None):
     """Merged K-ray occlusion over the tables (geometry columns only);
     the wavefront._any_hit_multi algebra with traced per-row scalars.
 
@@ -503,7 +503,8 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
     tri_ref, rect_ref, disk_ref, sph_ref = refs
     eps = km.SHAPE_EPSILON
     K = len(rays)
-    nd = [n_shade.dot(wi) for wi, _ in rays]
+    if nd is None:
+        nd = [n_shade.dot(wi) for wi, _ in rays]
     se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
                     np.float32(km.RAY_OFFSET)) for k in range(K)]
     if robust:
@@ -607,11 +608,15 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
             neg_b = vc.dot(wi) - se[k] * nd[k]
             oc2 = vc2 - 2.0 * se[k] * vcn + off2
             discr = r * r - oc2 + neg_b * neg_b
-            sq = wf._safe_sqrt(discr)
-            t1 = neg_b - sq
-            t2 = neg_b + sq
-            in1 = (t1 > eps) & (t1 < tmax)
-            in2 = (t2 > eps) & (t2 < tmax)
+            # sqrt-free root-in-range test (wavefront._any_hit_multi)
+            a_c = neg_b - eps
+            b_c = neg_b - tmax
+            a2 = a_c * a_c
+            b2 = b_c * b_c
+            a_pos = a_c > 0.0
+            b_neg = b_c < 0.0
+            in1 = a_pos & (discr < a2) & (b_neg | (discr > b2))
+            in2 = (a_pos | (discr > a2)) & b_neg & (discr < b2)
             h = (discr >= 0) & (r > 0) & (in1 | in2)
             if own is not None and own[k] is not None \
                     and own[k][0] == "sphere":
@@ -623,16 +628,22 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
     return [h != 0 for h in hits]
 
 
-def _bigres_layout(cfg: wf.KernelConfig, L: int, has_env: bool):
+def _bigres_layout(cfg: wf.KernelConfig, L: int, has_env: bool,
+                   has_img: bool = False):
     """Plane order of the table kernel's coefficient cache (the residual
     backward's input; the bigscene analog of wavefront._residual_layout).
     Per shading bounce: "wb" (emission-MIS weight, fully masked), "wenv"
     (env scenes), one "B" per NEE light ("Bk" kappa partners with
-    trainable exponents), "tu"/"tuk", and the hit's RAW table colors
+    trainable exponents), "tu"/"tuk", and the hit's table colors
     "dif"/"spc"/"emi" (3 planes each) — at thousands of surface rows the
     backward cannot re-select them from tables, so the forward caches the
-    VALUES. The horizon bounce stores only wb/wenv/emi. The per-bounce
-    int plane packs (row+1) | phong<<20 | to_spec<<21."""
+    VALUES ("dif" holds the POST-texture diffuse on textured rows; the
+    per-texture adjoint routing uses the parity bit / "tx"/"ty" planes,
+    and the row-tagged diffuse share is zeroed there). With image
+    textures ("tx"/"ty") the continuous texel coordinates of the hit are
+    cached per bounce, exactly as wavefront._residual_layout. The horizon
+    bounce stores only wb/wenv/emi. The per-bounce int plane packs
+    (row+1) | phong<<20 | to_spec<<21 | checker_even<<22."""
     texp = cfg.trainable_exponent
     tags = []
     for b in range(cfg.max_depth + 1):
@@ -653,6 +664,9 @@ def _bigres_layout(cfg: wf.KernelConfig, L: int, has_env: bool):
                 tags.append(("dif", b, c))
             for c in range(3):
                 tags.append(("spc", b, c))
+            if has_img:
+                tags.append(("tx", b))
+                tags.append(("ty", b))
     return {t: i for i, t in enumerate(tags)}, len(tags)
 
 
@@ -701,10 +715,8 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     use_texp = cfg.trainable_exponent
     tex_recs = static.get("textures", [])
     img_recs = [r for r in tex_recs if r.get("kind") == "image"]
-    if tex_recs and (grad or residual):
-        raise NotImplementedError(
-            "table-kernel textures are forward-only — differentiate "
-            "textured scenes through the baked megakernel / jnp engines")
+    n_tex = static.get("n_textures", 0)
+    n_texels = static.get("n_texels", 0)
     # robust shadow mode: per-light (table, row) of its own geometry
     own_geo = None
     if cfg.shadow == "robust":
@@ -755,18 +767,31 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             rng = wf._Rng(tile_seed, hw_rng)
 
         if grad:
-            # (gx gy gz flx fly flz) inputs precede the two outputs
-            gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref, \
-                dout_ref, rows_ref = out_refs
+            # (gx gy gz flx fly flz) inputs precede the outputs
+            (gx_ref, gy_ref, gz_ref, flx_ref, fly_ref, flz_ref,
+             dout_ref, rows_ref, *acc_refs) = out_refs
+            dta_ref = acc_refs.pop(0) if tex_recs else None
+            dtb_ref = acc_refs.pop(0) if tex_recs else None
+            dti_ref = acc_refs.pop(0) if img_recs else None
             g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
             r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
             dplanes = []          # stacked in output order
             row_planes = []       # per-bounce sid+1 int32 planes
             acc_env = None
             acc_le = [None] * L   # per-light d light_emit
+            if tex_recs:
+                # textures are FEW even at scene scale: per-texture V3
+                # accumulators live in-kernel exactly as in the baked
+                # kernel (wavefront.py grad mode); their planes are
+                # summed across the grid into shared (0,0,0) out blocks
+                acc_ta = [v3_zeros(gx_ref[:]) for _ in range(n_tex)]
+                acc_tb = [v3_zeros(gx_ref[:]) for _ in range(n_tex)]
+            if img_recs:
+                acc_ti = [v3_zeros(gx_ref[:]) for _ in range(n_texels)]
         elif residual:
             lx_ref, ly_ref, lz_ref, resf_ref, resi_ref = out_refs
-            res_ix, res_n = _bigres_layout(cfg, L, env_i is not None)
+            res_ix, res_n = _bigres_layout(cfg, L, env_i is not None,
+                                           bool(img_recs))
             res_planes = [None] * res_n
             res_ints = [None] * (cfg.max_depth + 1)
         else:
@@ -780,6 +805,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
         alive = jnp.zeros(shp, jnp.float32) < 1.0
         spec_prev = jnp.zeros(shp, jnp.int32)
         pdf_prev = jnp.ones(shp, jnp.float32)
+        phits_prev = None   # wavefront._light_sample phit carry
 
         def v3add(a, b):
             return b if a is None else a + b
@@ -831,8 +857,14 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 w_emit = jnp.ones(shp, jnp.float32)
             else:
                 li_idx = lixf.astype(jnp.int32)
-                pdf_l_hit = wf._hit_light_pdf(lights, li_idx, o, d,
-                                              t_safe, nrm)
+                if phits_prev is not None:
+                    pdf_l_hit = jnp.zeros(shp, jnp.float32)
+                    for i in range(L):
+                        pdf_l_hit = jnp.where(li_idx == i, phits_prev[i],
+                                              pdf_l_hit)
+                else:
+                    pdf_l_hit = wf._hit_light_pdf(lights, li_idx, o, d,
+                                                  t_safe, nrm)
                 w_emit = jnp.where(full, np.float32(1.0),
                                    wf._safe_div(pdf_prev,
                                                 pdf_prev + pdf_l_hit))
@@ -886,10 +918,22 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             if tex_recs:
                 # textured rows are FEW even in big scenes: the baked
                 # kernel's static per-rec machinery (wavefront.py:873-996)
-                # applies unchanged, selected by the carried global row
+                # applies unchanged, selected by the carried global row.
+                # Parity masks / bilinear taps are kept for the adjoint
+                # routing (grad) and the coefficient cache (residual).
+                sid_i = rowf.astype(jnp.int32)
+                tex_par = [None if rec.get("kind") == "image"
+                           else wf._checker_parity(static, rec, hp)
+                           for rec in tex_recs]
+                tex_xy = [wf._image_uv_xy(static, rec, hp)
+                          if rec.get("kind") == "image" else None
+                          for rec in tex_recs]
+                tex_ws = [None if xy is None else wf._image_texel_weights(
+                              rec, *wf._image_taps_from_xy(rec, *xy))
+                          for rec, xy in zip(tex_recs, tex_xy)]
                 diffuse = wf._apply_textures(
                     static, texa_ref, texb_ref, timg_ref,
-                    rowf.astype(jnp.int32), hp, diffuse)
+                    sid_i, hp, diffuse, tex_par, tex_ws)
             specular = V3(spcx, spcy, spcz)
             is_matte = kindf == np.float32(kbsdf.MAT_MATTE)
             is_mirror = kindf == np.float32(kbsdf.MAT_MIRROR)
@@ -930,6 +974,10 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
 
             s_f, t_f, n_f = make_frame(nrm)
             wo_l = to_local(s_f, t_f, n_f, wo)
+            # world-space mirror direction for the per-light NEE eval
+            # (wavefront._bsdf_eval_pdf_dots; one build per bounce)
+            wr_w = (nrm * (wo_l.z * 2.0) - wo) \
+                if kbsdf.PHONG in eval_lobes else None
             col_nee_tbl = specular.where(lobe_is_phong, diffuse) \
                 if has_plastic else diffuse
 
@@ -942,6 +990,9 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 azim = (cphi_s, wf._sin_from_phi_cos(cphi_s, u2))
             smps = [wf._light_sample(lt, world_radius, hp, nrm, u1, u2,
                                      azim) for lt in lights]
+            nds = [nrm.dot(smp[0]) for smp in smps]
+            if all(smp[4] is not None for smp in smps):
+                phits_prev = [smp[4] for smp in smps]
             # whole-tile NEE skip mirrors the closest-hit one: if no lane
             # in this tile does NEE at this bounce, the occlusion sweep
             # never runs (bool results cross the cond as int32 planes —
@@ -949,14 +1000,56 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             any_nee = jnp.max(jnp.where(nee_act, np.float32(1.0),
                                         np.float32(0.0))) > 0.0
 
-            def occ_sweep(_):
-                hs = _any_hit_tables(
-                    refs, counts, hp, nrm,
-                    [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
-                    robust=(cfg.shadow == "robust"), own=own_geo,
-                    bounds=b_bounds)
-                return tuple(jnp.where(h, np.int32(1), np.int32(0))
-                             for h in hs)
+            # cull="cone+nee" (opt-in): shadow rays toward COMPACT
+            # lights (sphere/rect/point) converge on the light, so their
+            # sweep is block-culled at EVERY depth, in a separate group
+            # from unbounded lights (env/direction — arbitrary directions
+            # at 2*world_radius would widen the union cone to pass every
+            # block). MEASURED (2026-08-20, v5e, 1026 surfaces depth 3):
+            # pays only when lanes are spatially binned — unbinned
+            # camera-order tiles have screen-wide hp clouds past bounce 0,
+            # so the cones stay fat and the ~129 per-block lax.cond tests
+            # are pure overhead (5.44 -> 4.79 M rays/s). Default "cone"
+            # keeps the round-3 behavior: one merged sweep, culled at the
+            # primary bounce only.
+            if cfg.cull == "cone+nee":
+                compact_i = [i for i, lt in enumerate(lights)
+                             if lt["kind"] not in (klights.ENV,
+                                                   klights.DIRECTION)]
+                wide_i = [i for i in range(L) if i not in compact_i]
+
+                def occ_sweep(_):
+                    rays_all = [(smp[0], smp[3] - km.SHADOW_EPSILON)
+                                for smp in smps]
+                    hs = [None] * L
+
+                    def group(idxs, grp_bounds):
+                        if not idxs:
+                            return
+                        sub = _any_hit_tables(
+                            refs, counts, hp, nrm,
+                            [rays_all[i] for i in idxs],
+                            robust=(cfg.shadow == "robust"),
+                            own=([own_geo[i] for i in idxs]
+                                 if own_geo is not None else None),
+                            bounds=grp_bounds, nd=[nds[i] for i in idxs])
+                        for j, i in enumerate(idxs):
+                            hs[i] = sub[j]
+
+                    group(compact_i, bounds if use_cull else None)
+                    group(wide_i, None)
+                    return tuple(jnp.where(h, np.int32(1), np.int32(0))
+                                 for h in hs)
+            else:
+                def occ_sweep(_):
+                    hs = _any_hit_tables(
+                        refs, counts, hp, nrm,
+                        [(smp[0], smp[3] - km.SHADOW_EPSILON)
+                         for smp in smps],
+                        robust=(cfg.shadow == "robust"), own=own_geo,
+                        bounds=b_bounds, nd=nds)
+                    return tuple(jnp.where(h, np.int32(1), np.int32(0))
+                                 for h in hs)
 
             occs_i = jax.lax.cond(
                 any_nee, occ_sweep,
@@ -964,6 +1057,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                                 for _ in lights), None)
             occs = [h != 0 for h in occs_i]
             ld = v3_zeros(o.x)
+            nee_base = nee_act & ~color.is_black()
             if grad:
                 # bounce-local color adjoints (every term of this bounce
                 # attaches to the SAME carried hit row)
@@ -974,17 +1068,18 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             for i, lt in enumerate(lights):
                 emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
                             light_emit_ref[i, 2])
-                wi, pdf_l, li_s, dist = smps[i]
-                wi_l = to_local(s_f, t_f, n_f, wi)
-                _, pdf_b, f_unit_e = wf._bsdf_eval_pdf(
-                    kind, color, expo, wo_l, wi_l, eval_lobes, None)
-                ucos = f_unit_e * jnp.abs(wi_l.z)
+                wi, pdf_l, li_s, dist, _phit = smps[i]
+                cos_aw = wr_w.dot(wi) if wr_w is not None \
+                    else jnp.zeros(shp, jnp.float32)
+                pdf_b, f_unit_e = wf._bsdf_eval_pdf_dots(
+                    kind, expo, wo_l.z, nds[i], cos_aw, eval_lobes, None)
+                ucos = f_unit_e * jnp.abs(nds[i])
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
                     w = wf._safe_div(np.float32(1.0), pdf_l)
                 else:
                     w = wf._safe_div(np.float32(1.0), pdf_l + pdf_b)
-                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
-                    & (ucos != 0.0) & ~color.is_black()
+                ok = nee_base & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0)
                 okf = jnp.where(ok & ~occs[i], w, 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 ld = ld + col_nee_tbl * emit_l * bp
@@ -993,7 +1088,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                     if use_texp:
                         res_planes[res_ix[("Bk", bounce, i)]] = jnp.where(
                             lobe_is_phong,
-                            bp * wf._kappa(expo, wo_l, wi_l), 0.0)
+                            bp * wf._kappa_dot(expo, cos_aw), 0.0)
                 if grad:
                     # d light emission (linear in Li; routed to the light's
                     # emitting surface row / env leaf by the caller)
@@ -1015,7 +1110,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                         # d f_unit/d e at the FIXED light-sampled wi
                         # (wavefront._kappa; same detached-pdf convention
                         # as wavefront.py's trainable-exponent replay)
-                        kap = wf._kappa(expo, wo_l, wi_l)
+                        kap = wf._kappa_dot(expo, cos_aw)
                         dsum = (addc.x * col_nee_tbl.x
                                 + addc.y * col_nee_tbl.y
                                 + addc.z * col_nee_tbl.z)
@@ -1057,7 +1152,8 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                     res_planes[res_ix[("tuk", bounce)]] = jnp.where(
                         lobe_is_phong,
                         tu_plane * wf._kappa(expo, wo_l, wi_l), 0.0)
-                for c, v in enumerate((difx, dify, difz)):
+                for c, v in enumerate((diffuse.x, diffuse.y,
+                                       diffuse.z)):
                     res_planes[res_ix[("dif", bounce, c)]] = v
                 for c, v in enumerate((spcx, spcy, spcz)):
                     res_planes[res_ix[("spc", bounce, c)]] = v
@@ -1066,11 +1162,37 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                                    | lobe_is_phong)
                 else:
                     to_spec_res = valid & ~valid   # statically false
-                res_ints[bounce] = (
+                packed = (
                     (rowf.astype(jnp.int32) + np.int32(1))
                     * valid.astype(jnp.int32)
                     + lobe_is_phong.astype(jnp.int32) * np.int32(1 << 20)
                     + to_spec_res.astype(jnp.int32) * np.int32(1 << 21))
+                if tex_recs:
+                    # a lane's row matches at most one texture rec, so one
+                    # combined checker-even bit suffices (wavefront's
+                    # res_ints bit-10 convention, here bit 22)
+                    tex_even = jnp.zeros(shp, jnp.int32)
+                    for ti, rec in enumerate(tex_recs):
+                        if tex_par[ti] is None:
+                            continue
+                        onrow = sid_i == np.int32(rec["row"])
+                        tex_even = jnp.where(onrow & tex_par[ti],
+                                             np.int32(1), tex_even)
+                    packed = packed + tex_even * np.int32(1 << 22)
+                res_ints[bounce] = packed
+                if img_recs:
+                    # continuous texel coords of the hit on its image row
+                    # (bilinear taps are a pure function of these)
+                    tx_pl = jnp.zeros(shp, jnp.float32)
+                    ty_pl = jnp.zeros(shp, jnp.float32)
+                    for ti, rec in enumerate(tex_recs):
+                        if tex_xy[ti] is None:
+                            continue
+                        onrow = sid_i == np.int32(rec["row"])
+                        tx_pl = jnp.where(onrow, tex_xy[ti][0], tx_pl)
+                        ty_pl = jnp.where(onrow, tex_xy[ti][1], ty_pl)
+                    res_planes[res_ix[("tx", bounce)]] = tx_pl
+                    res_planes[res_ix[("ty", bounce)]] = ty_pl
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -1112,6 +1234,46 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                               + addt.z * col_nee_tbl.z)
                     addx = addx + jnp.where(lobe_is_phong, dsum_t * kap_s,
                                             0.0)
+                if tex_recs:
+                    # the diffuse VALUE on textured rows came from the
+                    # texture, so its adjoint routes to the texture leaves
+                    # (by cell parity / bilinear tap weight — wavefront's
+                    # replay routing, wavefront.py:2195-2225) and the
+                    # row-tagged diffuse share is zeroed
+                    for ti, rec in enumerate(tex_recs):
+                        onrow = sid_i == np.int32(rec["row"])
+                        if rec.get("kind") == "image":
+                            base = rec["img"] * rec["th"] * rec["tw"]
+                            for k, wk in enumerate(tex_ws[ti]):
+                                wk = jnp.where(onrow, wk, 0.0)
+                                tt = base + k
+                                acc_ti[tt] = V3(
+                                    acc_ti[tt].x + addc_diff.x * wk,
+                                    acc_ti[tt].y + addc_diff.y * wk,
+                                    acc_ti[tt].z + addc_diff.z * wk)
+                        else:
+                            even = tex_par[ti]
+                            tt = rec["tex"]
+                            sel_a = onrow & even
+                            sel_b = onrow & ~even
+                            acc_ta[tt] = V3(
+                                acc_ta[tt].x
+                                + jnp.where(sel_a, addc_diff.x, 0.0),
+                                acc_ta[tt].y
+                                + jnp.where(sel_a, addc_diff.y, 0.0),
+                                acc_ta[tt].z
+                                + jnp.where(sel_a, addc_diff.z, 0.0))
+                            acc_tb[tt] = V3(
+                                acc_tb[tt].x
+                                + jnp.where(sel_b, addc_diff.x, 0.0),
+                                acc_tb[tt].y
+                                + jnp.where(sel_b, addc_diff.y, 0.0),
+                                acc_tb[tt].z
+                                + jnp.where(sel_b, addc_diff.z, 0.0))
+                        addc_diff = V3(
+                            jnp.where(onrow, 0.0, addc_diff.x),
+                            jnp.where(onrow, 0.0, addc_diff.y),
+                            jnp.where(onrow, 0.0, addc_diff.z))
                 dplanes.extend([addc_diff.x, addc_diff.y, addc_diff.z,
                                 addc_spec.x, addc_spec.y, addc_spec.z,
                                 de_b.x, de_b.y, de_b.z]
@@ -1136,6 +1298,30 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
                 dplanes.extend([le_v.x, le_v.y, le_v.z])
             dout_ref[:] = jnp.stack(dplanes, axis=0)
             rows_ref[:] = jnp.stack(row_planes, axis=0)
+            if tex_recs:
+                def stack_acc(acc):
+                    planes = []
+                    for v in acc:
+                        planes.extend([v.x, v.y, v.z])
+                    return jnp.stack(planes, axis=0)
+
+                arr_ta = stack_acc(acc_ta)
+                arr_tb = stack_acc(acc_tb)
+                arr_ti = stack_acc(acc_ti) if img_recs else None
+
+                @pl.when(pid == 0)
+                def _():
+                    dta_ref[:] = arr_ta
+                    dtb_ref[:] = arr_tb
+                    if img_recs:
+                        dti_ref[:] = arr_ti
+
+                @pl.when(pid != 0)
+                def _():
+                    dta_ref[:] = dta_ref[:] + arr_ta
+                    dtb_ref[:] = dtb_ref[:] + arr_tb
+                    if img_recs:
+                        dti_ref[:] = dti_ref[:] + arr_ti
         else:
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
@@ -1149,19 +1335,33 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
     return kernel
 
 
-def _make_res_bwd_kernel(cfg: wf.KernelConfig, L: int, has_env: bool):
+def _make_res_bwd_kernel(static, cfg: wf.KernelConfig, L: int,
+                         has_env: bool):
     """Coefficient-cache backward for the table kernel: NO geometry
     sweeps, NO RNG — pure algebra over the _bigres_layout planes (the
     bigscene analog of wavefront's residual backward, wavefront.py:2296,
     emitting row-tagged adjoint planes instead of per-row accumulators).
     Walks bounces FORWARD carrying (beta, tail radiance); every adjoint
-    term is bilinear in (cached coefficient, cached color, light emit)."""
+    term is bilinear in (cached coefficient, cached color, light emit).
+    Textured rows route the diffuse-value adjoint to the texture leaves
+    (checker parity from res_ints bit 22; bilinear taps rebuilt from the
+    cached "tx"/"ty" planes with pure floor/mask/FMA) and zero the
+    row-tagged diffuse share — wavefront's residual-texture convention."""
     use_texp = cfg.trainable_exponent
-    res_ix, res_n = _bigres_layout(cfg, L, has_env)
+    tex_recs = static.get("textures", [])
+    img_recs = [r for r in tex_recs if r.get("kind") == "image"]
+    n_tex = static.get("n_textures", 0)
+    n_texels = static.get("n_texels", 0)
+    res_ix, res_n = _bigres_layout(cfg, L, has_env, bool(img_recs))
     B = cfg.max_depth
 
     def kernel(light_emit_ref, env_ref, gx_ref, gy_ref, gz_ref,
-               flx_ref, fly_ref, flz_ref, resf_ref, resi_ref, dout_ref):
+               flx_ref, fly_ref, flz_ref, resf_ref, resi_ref, dout_ref,
+               *acc_refs):
+        acc_refs = list(acc_refs)
+        dta_ref = acc_refs.pop(0) if tex_recs else None
+        dtb_ref = acc_refs.pop(0) if tex_recs else None
+        dti_ref = acc_refs.pop(0) if img_recs else None
         g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
         r_tail = V3(flx_ref[:], fly_ref[:], flz_ref[:])
         shp = g.x.shape
@@ -1169,6 +1369,11 @@ def _make_res_bwd_kernel(cfg: wf.KernelConfig, L: int, has_env: bool):
         dplanes = []
         acc_env = v3_zeros(g.x)
         acc_le = [v3_zeros(g.x) for _ in range(L)]
+        if tex_recs:
+            acc_ta = [v3_zeros(g.x) for _ in range(n_tex)]
+            acc_tb = [v3_zeros(g.x) for _ in range(n_tex)]
+        if img_recs:
+            acc_ti = [v3_zeros(g.x) for _ in range(n_texels)]
 
         def rf(tag):
             return resf_ref[res_ix[tag]]
@@ -1242,6 +1447,46 @@ def _make_res_bwd_kernel(cfg: wf.KernelConfig, L: int, has_env: bool):
                 addx = addx + (gb.x * r_next.x * spc.x
                                + gb.y * r_next.y * spc.y
                                + gb.z * r_next.z * spc.z) * tuk
+            if tex_recs:
+                row1 = ib & np.int32((1 << 20) - 1)
+                even = (ib & np.int32(1 << 22)) != 0
+                if img_recs:
+                    tx = rf(("tx", bounce))
+                    ty = rf(("ty", bounce))
+                for rec in tex_recs:
+                    onrow = row1 == np.int32(rec["row"] + 1)
+                    if rec.get("kind") == "image":
+                        idx, wts = wf._image_taps_from_xy(rec, tx, ty)
+                        tws = wf._image_texel_weights(rec, idx, wts)
+                        base = rec["img"] * rec["th"] * rec["tw"]
+                        for k, wk in enumerate(tws):
+                            wk = jnp.where(onrow, wk, 0.0)
+                            tt = base + k
+                            acc_ti[tt] = V3(
+                                acc_ti[tt].x + addc_diff.x * wk,
+                                acc_ti[tt].y + addc_diff.y * wk,
+                                acc_ti[tt].z + addc_diff.z * wk)
+                    else:
+                        tt = rec["tex"]
+                        sel_a = onrow & even
+                        sel_b = onrow & ~even
+                        acc_ta[tt] = V3(
+                            acc_ta[tt].x
+                            + jnp.where(sel_a, addc_diff.x, 0.0),
+                            acc_ta[tt].y
+                            + jnp.where(sel_a, addc_diff.y, 0.0),
+                            acc_ta[tt].z
+                            + jnp.where(sel_a, addc_diff.z, 0.0))
+                        acc_tb[tt] = V3(
+                            acc_tb[tt].x
+                            + jnp.where(sel_b, addc_diff.x, 0.0),
+                            acc_tb[tt].y
+                            + jnp.where(sel_b, addc_diff.y, 0.0),
+                            acc_tb[tt].z
+                            + jnp.where(sel_b, addc_diff.z, 0.0))
+                    addc_diff = V3(jnp.where(onrow, 0.0, addc_diff.x),
+                                   jnp.where(onrow, 0.0, addc_diff.y),
+                                   jnp.where(onrow, 0.0, addc_diff.z))
             dplanes.extend([addc_diff.x, addc_diff.y, addc_diff.z,
                             addc_spec.x, addc_spec.y, addc_spec.z,
                             de_b.x, de_b.y, de_b.z]
@@ -1253,6 +1498,31 @@ def _make_res_bwd_kernel(cfg: wf.KernelConfig, L: int, has_env: bool):
         for i in range(L):
             dplanes.extend([acc_le[i].x, acc_le[i].y, acc_le[i].z])
         dout_ref[:] = jnp.stack(dplanes, axis=0)
+        if tex_recs:
+            def stack_acc(acc):
+                planes = []
+                for v in acc:
+                    planes.extend([v.x, v.y, v.z])
+                return jnp.stack(planes, axis=0)
+
+            pid = pl.program_id(0)
+            arr_ta = stack_acc(acc_ta)
+            arr_tb = stack_acc(acc_tb)
+            arr_ti = stack_acc(acc_ti) if img_recs else None
+
+            @pl.when(pid == 0)
+            def _():
+                dta_ref[:] = arr_ta
+                dtb_ref[:] = arr_tb
+                if img_recs:
+                    dti_ref[:] = arr_ti
+
+            @pl.when(pid != 0)
+            def _():
+                dta_ref[:] = dta_ref[:] + arr_ta
+                dtb_ref[:] = dtb_ref[:] + arr_tb
+                if img_recs:
+                    dti_ref[:] = dti_ref[:] + arr_ti
 
     return kernel
 
@@ -1422,11 +1692,17 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     residual = backward == "residual"
     L = len(static["lights"])
     res_env = any(lt["kind"] == klights.ENV for lt in static["lights"])
+    tex_recs = static.get("textures", [])
+    has_tex = bool(tex_recs)
+    has_img = any(r.get("kind") == "image" for r in tex_recs)
+    t_rows = static.get("n_textures", 0) if has_tex else 0
+    n_texels = static.get("n_texels", 0) if has_img else 0
+    img_shape = tuple(scene.textures.image.shape) if has_img else (0, 3)
     fwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw,
                               residual=residual)
     if residual:
-        bwd_kernel = _make_res_bwd_kernel(cfg, L, res_env)
-        res_ix, res_n = _bigres_layout(cfg, L, res_env)
+        bwd_kernel = _make_res_bwd_kernel(static, cfg, L, res_env)
+        res_ix, res_n = _bigres_layout(cfg, L, res_env, has_img)
     else:
         bwd_kernel = _make_kernel(static, counts, cfg, hw_rng=hw,
                                   grad=True)
@@ -1509,18 +1785,47 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                     for _ in range(4)]
         return blk, smem, tab_spec
 
+    def _tex_args(texa, texb, timg):
+        """(pallas inputs, in_specs) for the texture tables — placed right
+        after the geometry tables (the kernel pops them first)."""
+        if not has_tex:
+            return [], []
+        smem_t = functools.partial(pl.BlockSpec,
+                                   index_map=lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)
+        inputs = [texa, texb]
+        specs = [smem_t((t_rows, 3)), smem_t((t_rows, 3))]
+        if has_img:
+            inputs.append(timg.reshape(-1, 3))
+            specs.append(smem_t((n_texels, 3)))
+        return inputs, specs
+
+    def _acc_blk(nplanes):
+        return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    def _acc_shape(nplanes):
+        return jax.ShapeDtypeStruct((nplanes, cfg.rows, LANE), jnp.float32)
+
+    acc_extra_specs = ([_acc_blk(3 * t_rows), _acc_blk(3 * t_rows)]
+                       if has_tex else []) \
+        + ([_acc_blk(3 * n_texels)] if has_img else [])
+    acc_extra_shapes = ([_acc_shape(3 * t_rows), _acc_shape(3 * t_rows)]
+                        if has_tex else []) \
+        + ([_acc_shape(3 * n_texels)] if has_img else [])
+
     @jax.custom_vjp
-    def trace(diffuse, specular, emission, exponent, env, o, d, seed,
-              si=None, pix=None):
-        return _fwd_impl(diffuse, specular, emission, exponent, env, o, d,
-                         seed, si, pix)
+    def trace(diffuse, specular, emission, exponent, texa, texb, timg,
+              env, o, d, seed, si=None, pix=None):
+        return _fwd_impl(diffuse, specular, emission, exponent, texa,
+                         texb, timg, env, o, d, seed, si, pix)
 
     def _stk_spec(nplanes):
         return pl.BlockSpec((nplanes, cfg.rows, LANE),
                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
-    def _fwd_impl(diffuse, specular, emission, exponent, env, o, d, seed,
-                  si, pix, want_res=False):
+    def _fwd_impl(diffuse, specular, emission, exponent, texa, texb,
+                  timg, env, o, d, seed, si, pix, want_res=False):
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
@@ -1528,6 +1833,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         ox, oy, oz = _planes(o, n, npad, rows)
         dx, dy, dz = _planes(d, n, npad, rows)
         extra = _iplanes(si, pix, n, npad, rows)
+        tex_in, tex_spec = _tex_args(texa, texb, timg)
         res_specs, res_shapes = [], []
         if residual:
             res_specs = [_stk_spec(res_n), _stk_spec(cfg.max_depth + 1)]
@@ -1538,7 +1844,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
         out = pl.pallas_call(
             fwd_kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
-            + bnd_spec
+            + tex_spec + bnd_spec
             + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                blk, blk, blk, blk, blk, blk] + [blk] * len(extra),
             out_specs=[blk, blk, blk] + res_specs,
@@ -1546,7 +1852,7 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
                        for _ in range(3)] + res_shapes,
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1),
-          *_tabs(diffuse, specular, emission, exponent), *bnds,
+          *_tabs(diffuse, specular, emission, exponent), *tex_in, *bnds,
           _light_emit_of(emission, env), env.reshape(1, 3),
           ox, oy, oz, dx, dy, dz, *extra)
         lx, ly, lz = [v.reshape(-1)[:n] for v in out[:3]]
@@ -1555,28 +1861,38 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
             return big_l, out[3], out[4]
         return big_l
 
-    def _fwd(diffuse, specular, emission, exponent, env, o, d, seed,
-             si=None, pix=None):
+    def _fwd(diffuse, specular, emission, exponent, texa, texb, timg,
+             env, o, d, seed, si=None, pix=None):
         if residual:
             big_l, resf, resi = _fwd_impl(
-                diffuse, specular, emission, exponent, env, o, d, seed,
-                si, pix, want_res=True)
-            return big_l, (diffuse, specular, emission, exponent, env, o,
-                           d, seed, si, pix, big_l, resf, resi)
-        big_l = _fwd_impl(diffuse, specular, emission, exponent, env, o,
-                          d, seed, si, pix)
-        return big_l, (diffuse, specular, emission, exponent, env, o, d,
-                       seed, si, pix, big_l, None, None)
+                diffuse, specular, emission, exponent, texa, texb, timg,
+                env, o, d, seed, si, pix, want_res=True)
+            return big_l, (diffuse, specular, emission, exponent, texa,
+                           texb, timg, env, o, d, seed, si, pix, big_l,
+                           resf, resi)
+        big_l = _fwd_impl(diffuse, specular, emission, exponent, texa,
+                          texb, timg, env, o, d, seed, si, pix)
+        return big_l, (diffuse, specular, emission, exponent, texa, texb,
+                       timg, env, o, d, seed, si, pix, big_l, None, None)
 
     def _bwd(res, g):
-        (diffuse, specular, emission, exponent, env, o, d, seed, si, pix,
-         big_l, resf, resi) = res
+        (diffuse, specular, emission, exponent, texa, texb, timg, env, o,
+         d, seed, si, pix, big_l, resf, resi) = res
         n = o.shape[0]
         npad, grid = _grid_of(n)
         rows = grid * cfg.rows
         blk, smem, tab_spec = _specs(grid)
         gx, gy, gz = _planes(g, n, npad, rows)
         flx, fly, flz = _planes(big_l, n, npad, rows)
+        dta = dtb = dti = None
+
+        def _unpack_acc(outs):
+            nonlocal dta, dtb, dti
+            if has_tex:
+                dta = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
+                dtb = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
+            if has_img:
+                dti = outs.pop(0).sum(axis=(1, 2)).reshape(img_shape)
 
         def stk(nplanes):
             return pl.BlockSpec((nplanes, cfg.rows, LANE),
@@ -1585,17 +1901,22 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
 
         if residual:
             # cache-algebra backward: no geometry, no RNG, no sweeps
-            dout = pl.pallas_call(
+            outs = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[smem((max(n_lights, 1), 3)), smem((1, 3)),
                           blk, blk, blk, blk, blk, blk,
                           stk(res_n), stk(B + 1)],
-                out_specs=stk(P),
-                out_shape=jax.ShapeDtypeStruct((P, rows, LANE),
-                                               jnp.float32),
+                out_specs=[stk(P)] + acc_extra_specs,
+                out_shape=[jax.ShapeDtypeStruct((P, rows, LANE),
+                                                jnp.float32)]
+                + acc_extra_shapes,
                 interpret=interpret,
             )(_light_emit_of(emission, env), env.reshape(1, 3),
               gx, gy, gz, flx, fly, flz, resf, resi)
+            outs = list(outs) if isinstance(outs, (list, tuple)) \
+                else [outs]
+            dout = outs.pop(0)
+            _unpack_acc(outs)
             dout = dout.reshape(P, -1)[:, :n]
             sid1 = (resi.reshape(B + 1, -1)[:, :n]
                     & np.int32((1 << 20) - 1))
@@ -1603,23 +1924,30 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
             ox, oy, oz = _planes(o, n, npad, rows)
             dx, dy, dz = _planes(d, n, npad, rows)
             extra = _iplanes(si, pix, n, npad, rows)
-            dout, rows_out = pl.pallas_call(
+            tex_in, tex_spec = _tex_args(texa, texb, timg)
+            outs = pl.pallas_call(
                 bwd_kernel, grid=(grid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tab_spec
-                + bnd_spec
+                + tex_spec + bnd_spec
                 + [smem((max(n_lights, 1), 3)), smem((1, 3)),
                    blk, blk, blk, blk, blk, blk] + [blk] * len(extra)
                 + [blk, blk, blk, blk, blk, blk],
-                out_specs=[stk(P), stk(B + 1)],
+                out_specs=[stk(P), stk(B + 1)] + acc_extra_specs,
                 out_shape=[jax.ShapeDtypeStruct((P, rows, LANE),
                                                 jnp.float32),
                            jax.ShapeDtypeStruct((B + 1, rows, LANE),
-                                                jnp.int32)],
+                                                jnp.int32)]
+                + acc_extra_shapes,
                 interpret=interpret,
             )(jnp.asarray(seed, jnp.int32).reshape(1),
-              *_tabs(diffuse, specular, emission, exponent), *bnds,
+              *_tabs(diffuse, specular, emission, exponent), *tex_in,
+              *bnds,
               _light_emit_of(emission, env), env.reshape(1, 3),
               ox, oy, oz, dx, dy, dz, *extra, gx, gy, gz, flx, fly, flz)
+            outs = list(outs)
+            dout = outs.pop(0)
+            rows_out = outs.pop(0)
+            _unpack_acc(outs)
             dout = dout.reshape(P, -1)[:, :n]           # (P, n)
             sid1 = rows_out.reshape(B + 1, -1)[:, :n]   # (B+1, n)
 
@@ -1644,20 +1972,37 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
             elif i < len(light_kinds) and light_kinds[i] == klights.ENV:
                 denv = denv + dle
         dxp = dxp if use_texp else jnp.zeros_like(exponent)
-        return (dd, ds, de, dxp, denv,
+        if dta is None:
+            dta = jnp.zeros((t_rows, 3), jnp.float32)
+            dtb = jnp.zeros((t_rows, 3), jnp.float32)
+        if dti is None:
+            dti = jnp.zeros(img_shape, jnp.float32)
+        return (dd, ds, de, dxp, dta, dtb, dti, denv,
                 None, None, None, None, None)
 
     trace.defvjp(_fwd, _bwd)
-    if use_texp:
-        public = trace
-    else:
-        # keep the historical signature when exponents are not trainable
-        exp_const = jnp.asarray(scene.mat_exponent)
+    # public positional order mirrors wavefront.make_pallas_diff_tracer:
+    # diffuse, specular, emission, [exponent if trainable_exponent],
+    # [texa, texb if textured], [timg if image-textured], env, o, d,
+    # seed, [si, pix if sobol]
+    exp_const = jnp.asarray(scene.mat_exponent)
+    tex_a0 = scene.textures.color_a if has_tex \
+        else jnp.zeros((0, 3), jnp.float32)
+    tex_b0 = scene.textures.color_b if has_tex \
+        else jnp.zeros((0, 3), jnp.float32)
+    timg0 = scene.textures.image if has_img \
+        else jnp.zeros((0, 3), jnp.float32)
 
-        def public(diffuse, specular, emission, env, o, d, seed,
-                   si=None, pix=None):
-            return trace(diffuse, specular, emission, exp_const, env,
-                         o, d, seed, si, pix)
+    def public(diffuse, specular, emission, *rest):
+        rest = list(rest)
+        exponent = rest.pop(0) if use_texp else exp_const
+        texa = rest.pop(0) if has_tex else tex_a0
+        texb = rest.pop(0) if has_tex else tex_b0
+        timg = rest.pop(0) if has_img else timg0
+        env, o, d, seed = rest[:4]
+        si, pix = (rest[4], rest[5]) if len(rest) > 4 else (None, None)
+        return trace(diffuse, specular, emission, exponent, texa, texb,
+                     timg, env, o, d, seed, si, pix)
 
     _TRACER_MEMO[memo_key] = public
     return public

@@ -90,15 +90,21 @@ def v3_zeros(like) -> V3:
 
 def make_frame(n: V3) -> tuple[V3, V3, V3]:
     """Orthonormal basis about unit n — SmallVCM/frame_t construction
-    (ky.cpp:566-571 via kytpu/core/frame.py)."""
+    (ky.cpp:566-571 via kytpu/core/frame.py).
+
+    The helper cross product is specialized to the one-hot helper axis
+    ((0,1,0) when |n.x| > 0.99 else (1,0,0)) and both normalizations use
+    rsqrt — per-frame cost drops by 2 VPU divides and ~6 mul/sub versus
+    the generic cross form, at <=1ulp value drift (frames are built 7x
+    per bounce in the veach NEE path: hit + 5 lights + phong sample)."""
     use_y = jnp.abs(n.x) > 0.99
-    hx = jnp.where(use_y, 0.0, 1.0)
-    hy = jnp.where(use_y, 1.0, 0.0)
-    helper = V3(hx, hy, jnp.zeros_like(hx))
-    t = n.cross(helper)
-    t = t * (1.0 / jnp.sqrt(jnp.maximum(t.length_squared(), 1e-20)))
+    zero = jnp.zeros_like(n.x)
+    t = V3(jnp.where(use_y, -n.z, zero),
+           jnp.where(use_y, zero, n.z),
+           jnp.where(use_y, n.x, -n.y))
+    t = t * jax.lax.rsqrt(jnp.maximum(t.length_squared(), 1e-20))
     s = t.cross(n)
-    s = s * (1.0 / jnp.sqrt(jnp.maximum(s.length_squared(), 1e-20)))
+    s = s * jax.lax.rsqrt(jnp.maximum(s.length_squared(), 1e-20))
     return s, t, n
 
 

@@ -93,7 +93,7 @@ class KernelConfig:
     # Morton-sorted UNROLL-row block is skipped via lax.cond when its
     # bounding sphere cannot meet the cone — exact-conservative, so
     # renders are bitwise identical to "off". The baked kernel ignores it.
-    cull: str = "cone"          # "cone" | "off"
+    cull: str = "cone"          # "cone" | "cone+nee" | "off"
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +582,12 @@ def _kappa(exponent, wo_l: V3, wi_l: V3):
     accumulators and the residual "Bk"/"tuk" planes must stay in lockstep.
     Callers mask the result to phong lanes (where cos_alpha > 0, so the
     clamp never fires on a contributing lane)."""
-    cos_a = jnp.maximum(V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l), 1e-12)
+    return _kappa_dot(exponent, V3(-wo_l.x, -wo_l.y, wo_l.z).dot(wi_l))
+
+
+def _kappa_dot(exponent, cos_alpha):
+    """_kappa on the precomputed (frame-invariant) mirror dot."""
+    cos_a = jnp.maximum(cos_alpha, 1e-12)
     return _safe_div(np.float32(1.0), exponent + 2.0) + jnp.log(cos_a)
 
 
@@ -741,11 +746,15 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
         neg_b = oc.dot(d)
         perp = oc - d * neg_b
         discr = r * r - perp.length_squared()
-        sq = _safe_sqrt(discr)
-        t1 = neg_b - sq
-        t2 = neg_b + sq
-        in1 = (t1 > km.SHAPE_EPSILON) & (t1 < tmax)
-        in2 = (t2 > km.SHAPE_EPSILON) & (t2 < tmax)
+        # sqrt-free root-in-range test (see _any_hit_multi's sphere loop)
+        a_c = neg_b - km.SHAPE_EPSILON
+        b_c = neg_b - tmax
+        a2 = a_c * a_c
+        b2 = b_c * b_c
+        a_pos = a_c > 0.0
+        b_neg = b_c < 0.0
+        in1 = a_pos & (discr < a2) & (b_neg | (discr > b2))
+        in2 = (a_pos | (discr > a2)) & b_neg & (discr < b2)
         h = (discr >= 0) & (in1 | in2)
         g = gate(n_pl + j)
         hit = hit | (h if g is None else h & g)
@@ -753,7 +762,7 @@ def _any_hit(static, o: V3, d: V3, tmax, skip_sphere: int | None = None,
 
 
 def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips,
-                   robust: bool = False, sphere_skips=None):
+                   robust: bool = False, sphere_skips=None, nd=None):
     """K-ray occlusion: all NEE shadow rays of one bounce leave the SAME
     shading point hp (offset +-RAY_OFFSET along n_shade by each ray's
     n.d sign, ky.cpp:614), so every per-surface term that depends only on
@@ -768,7 +777,8 @@ def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips,
     """
     eps = km.SHAPE_EPSILON
     K = len(rays)
-    nd = [n_shade.dot(wi) for wi, _ in rays]
+    if nd is None:
+        nd = [n_shade.dot(wi) for wi, _ in rays]
     se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
                     np.float32(km.RAY_OFFSET)) for k in range(K)]
     if robust:
@@ -835,11 +845,21 @@ def _any_hit_multi(static, hp: V3, n_shade: V3, rays, skips,
             neg_b = vc.dot(wi) - se[k] * nd[k]
             oc2 = vc2 - 2.0 * se[k] * vcn + off2   # |n_shade| == 1
             discr = r * r - oc2 + neg_b * neg_b
-            sq = _safe_sqrt(discr)
-            t1 = neg_b - sq
-            t2 = neg_b + sq
-            in1 = (t1 > eps) & (t1 < tmax)
-            in2 = (t2 > eps) & (t2 < tmax)
+            # sqrt-free root-in-range test: with sq = sqrt(discr) >= 0,
+            # A = neg_b - eps, B = neg_b - tmax,
+            #   t1 = neg_b - sq in (eps, tmax)  <=>  sq < A  and  sq > B
+            #   t2 = neg_b + sq in (eps, tmax)  <=>  sq > -A and  sq < -B
+            # and each one-sided compare of sq rewrites to a sign test
+            # plus a compare of discr against A*A / B*B (sqrts were ~25
+            # VPU ops per bounce here; measured on the veach NEE sweep)
+            a_c = neg_b - eps
+            b_c = neg_b - tmax
+            a2 = a_c * a_c
+            b2 = b_c * b_c
+            a_pos = a_c > 0.0
+            b_neg = b_c < 0.0
+            in1 = a_pos & (discr < a2) & (b_neg | (discr > b2))
+            in2 = (a_pos | (discr > a2)) & b_neg & (discr < b2)
             hits[k] = hits[k] | ((discr >= 0) & (in1 | in2))
     return hits
 
@@ -1202,16 +1222,80 @@ def _bsdf_eval_pdf(kind, color: V3, exponent, wo: V3, wi: V3,
     return color * f_unit, pdf, f_unit
 
 
+def _bsdf_eval_pdf_dots(kind, exponent, wo_z, wi_z, cos_alpha,
+                        lobes=frozenset((kbsdf.LAMBERT, kbsdf.PHONG)),
+                        static_exp=None):
+    """_bsdf_eval_pdf on precomputed frame-invariant dot products.
+
+    The lambert/phong eval depends on the local wi only through wi_l.z
+    (= n.wi, already computed for the shadow sweep) and the mirror dot
+    cos_alpha (= reflect(wo, n).wi, frame-invariant) — so the all-lights
+    NEE block can skip the per-light to_local entirely (~15 VPU ops per
+    light per bounce on veach). Returns (pdf, f_unit)."""
+    same = wo_z * wi_z > 0
+    has_lam = kbsdf.LAMBERT in lobes
+    has_ph = kbsdf.PHONG in lobes
+
+    unit_lam = pdf_lam = None
+    if has_lam:
+        unit_lam = jnp.where(same, np.float32(km.INV_PI), 0.0)
+        pdf_lam = jnp.where(same, jnp.abs(wi_z) * np.float32(km.INV_PI),
+                            0.0)
+
+    ph = pdf_ph = None
+    if has_ph:
+        cos_a = jnp.maximum(cos_alpha, 0.0)
+        if static_exp is not None:
+            powa = _ipow(cos_a, int(static_exp))
+            e2 = np.float32((static_exp + 2.0) * km.INV_2PI)
+            e1 = np.float32((static_exp + 1.0) * km.INV_2PI)
+        else:
+            powa = jnp.power(cos_a, exponent)
+            e2 = (exponent + 2.0) * np.float32(km.INV_2PI)
+            e1 = (exponent + 1.0) * np.float32(km.INV_2PI)
+        ph = jnp.where(same, e2 * powa, 0.0)
+        pdf_ph = e1 * powa
+
+    zero = jnp.zeros_like(wo_z)
+    if has_lam and has_ph:
+        is_lam = kind == kbsdf.LAMBERT
+        is_ph = kind == kbsdf.PHONG
+        f_unit = jnp.where(is_lam, unit_lam, jnp.where(is_ph, ph, 0.0))
+        pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_ph, pdf_ph, 0.0))
+    elif has_lam:
+        is_lam = kind == kbsdf.LAMBERT
+        f_unit = jnp.where(is_lam, unit_lam, 0.0)
+        pdf = jnp.where(is_lam, pdf_lam, 0.0)
+    elif has_ph:
+        is_ph = kind == kbsdf.PHONG
+        f_unit = jnp.where(is_ph, ph, 0.0)
+        pdf = jnp.where(is_ph, pdf_ph, 0.0)
+    else:
+        f_unit = zero
+        pdf = zero
+    return pdf, f_unit
+
+
 # -- lights (plane port of kytpu/light/lights.py) ----------------------------
 
 
 def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
-    """sample_Li for baked light lt. Returns (wi, pdf, li_scalar, dist).
+    """sample_Li for baked light lt. Returns (wi, pdf, li_scalar, dist,
+    phit).
 
     The incident radiance factors as Li = emit (x) li_scalar with emit the
     light's (traced, SMEM) color triple and li_scalar a per-lane scalar
     plane — the factorization the coefficient-cache backward stores one
     plane per light of (see _make_bwd_res_kernel).
+
+    phit: the light's solid-angle pdf for a BSDF ray leaving p, when that
+    pdf is DIRECTION-FREE (uniform-cone sphere lights: 1/(2pi(1-cos_max)),
+    0 inside) — the kernel carries it to the next bounce and skips the
+    per-bounce _hit_light_pdf recomputation (the extension origin differs
+    from p only by the ±1e-2 offset, which _hit_light_pdf's contract
+    already calls inside MC noise). None when the pdf depends on the
+    direction (rect area lights, inside-branch spheres): callers fall
+    back to _hit_light_pdf.
 
     azim: optional precomputed (cos(2*pi*u2), sin(2*pi*u2)) planes — the
     sphere/env azimuth transcendentals depend only on the shared u2 draw,
@@ -1223,13 +1307,14 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
         d2 = jnp.maximum(vec.length_squared(), 1e-20)
         dist = jnp.sqrt(d2)
         wi = vec * (1.0 / dist)
-        return wi, jnp.ones_like(u1), 1.0 / d2, dist
+        return wi, jnp.ones_like(u1), 1.0 / d2, dist, jnp.zeros_like(u1)
 
     if kind == klights.DIRECTION:
         dr = _cv3(lt["direction"])
         wi = v3_full(u1, -dr.x, -dr.y, -dr.z)
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        return wi, jnp.ones_like(u1), jnp.ones_like(u1), dist
+        return (wi, jnp.ones_like(u1), jnp.ones_like(u1), dist,
+                jnp.zeros_like(u1))
 
     if kind == klights.AREA_RECT:
         p0, p1, p2 = _cv3(lt["p0"]), _cv3(lt["p1"]), _cv3(lt["p2"])
@@ -1245,7 +1330,7 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
         facing = cos_l > 0
         li_s = jnp.where(facing, np.float32(1.0), np.float32(0.0))
         pdf = jnp.where(facing & (pdf > 0) & jnp.isfinite(pdf), pdf, 0.0)
-        return wi, pdf, li_s, dist
+        return wi, pdf, li_s, dist, None
 
     if kind == klights.AREA_SPHERE:
         c = _cv3(lt["center"])
@@ -1254,6 +1339,7 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
         d2c = jnp.maximum(vec_c.length_squared(), 1e-20)
         inv_dc = jax.lax.rsqrt(d2c)
         dist_c = d2c * inv_dc
+        inv_d2c = inv_dc * inv_dc   # ~2ulp of 1/d2c; saves a VPU divide
 
         # outside: cone sampling with Taylor fallback (ky.cpp:1419-1501).
         # The reference's angle-at-center construction (cos_alpha =
@@ -1263,7 +1349,7 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
         # p + wi*ds with ds = dc*cos_t - sqrt(r^2 - d2c*sin2) — identical
         # mapping (u1,u2) -> lp with 4 fewer sqrt/div ops and no final
         # normalization (wi comes straight from the cone frame).
-        sin2_max = jnp.minimum(r * r / d2c, 1.0)
+        sin2_max = jnp.minimum(r * r * inv_d2c, 1.0)
         cos_max = _safe_sqrt(1.0 - sin2_max)
         cos_t = (cos_max - 1.0) * u1 + 1.0
         sin2 = 1.0 - cos_t * cos_t
@@ -1300,7 +1386,8 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
             # weight to BSDF sampling. Unbiased, and the whole uniform-area
             # branch below compiles away.
             li_s = jnp.where(ok_cone, np.float32(1.0), np.float32(0.0))
-            return wi_cone, pdf_cone, li_s, ds
+            phit = jnp.where(outside, pdf_cone, np.float32(0.0))
+            return wi_cone, pdf_cone, li_s, ds, phit
 
         # inside: uniform area sample (ky.cpp:1422-1443)
         inside = ~outside
@@ -1322,7 +1409,7 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
         ok = jnp.where(inside, ok_in, ok_cone)
         dist = jnp.where(inside, d2_in * inv_d_in, ds)
         li_s = jnp.where(ok, np.float32(1.0), np.float32(0.0))
-        return wi, pdf, li_s, dist
+        return wi, pdf, li_s, dist, None
 
     if kind == klights.ENV:
         # replicated reference quirk: uniform-sphere direction, angle-space
@@ -1340,7 +1427,7 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
                         np.float32(1.0 / (2.0 * np.pi * np.pi))
                         / jnp.maximum(sin_theta, 1e-20))
         dist = jnp.full_like(u1, np.float32(2.0 * world_radius))
-        return wi, pdf, jnp.ones_like(u1), dist
+        return wi, pdf, jnp.ones_like(u1), dist, jnp.zeros_like(u1)
 
     raise ValueError(f"unknown light kind {kind}")
 
@@ -1650,6 +1737,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
         # vectors materializes i8 in Mosaic, which cannot truncate to i1
         spec_prev = jnp.zeros(shp, jnp.int32)
         pdf_prev = jnp.ones(shp, jnp.float32)
+        # previous bounce's direction-free per-light hit pdfs (see
+        # _light_sample phit); None until a NEE block provides them all
+        phits_prev = None
 
         if grad:
             g = V3(gx_ref[:], gy_ref[:], gz_ref[:])
@@ -1709,7 +1799,14 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         li_idx = jnp.where(sid == m,
                                            np.int32(mats["light_index"][m]),
                                            li_idx)
-                pdf_l_hit = _hit_light_pdf(lights, li_idx, o, d, t_safe, nrm)
+                if phits_prev is not None:
+                    pdf_l_hit = jnp.zeros(shp, jnp.float32)
+                    for i in range(L):
+                        pdf_l_hit = jnp.where(li_idx == i, phits_prev[i],
+                                              pdf_l_hit)
+                else:
+                    pdf_l_hit = _hit_light_pdf(lights, li_idx, o, d,
+                                               t_safe, nrm)
                 w_emit = jnp.where(full, np.float32(1.0),
                                    _safe_div(pdf_prev, pdf_prev + pdf_l_hit))
             wb = jnp.where(alive, w_emit, 0.0)
@@ -1823,6 +1920,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             # local frame at hit
             s_f, t_f, n_f = make_frame(nrm)
             wo_l = to_local(s_f, t_f, n_f, wo)
+            # frame-invariant NEE eval inputs: the mirror direction in
+            # WORLD space (one build per bounce) replaces the per-light
+            # to_local (see _bsdf_eval_pdf_dots)
+            if kbsdf.PHONG in eval_lobes:
+                wr_w = nrm * (wo_l.z * 2.0) - wo
+            else:
+                wr_w = None
 
             # ---- light-side NEE ----
             # one (sample, eval, shadow, accumulate) block for light i; the
@@ -1842,28 +1946,29 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             col_nee_tbl = specular.where(lobe_is_phong, diffuse) \
                 if has_plastic else diffuse
 
-            def nee_light(i, lt, smp, occ, sel_scale):
+            def nee_light(i, lt, smp, occ, sel_scale, nd_i):
                 nonlocal acc_e, acc_env, addc_diff, addc_spec, addx
                 emit_l = V3(light_emit_ref[i, 0], light_emit_ref[i, 1],
                             light_emit_ref[i, 2])
-                wi, pdf_l, li_s, dist = smp
-                wi_l = to_local(s_f, t_f, n_f, wi)
-                _, pdf_b, f_unit_e = _bsdf_eval_pdf(kind, color, exponent,
-                                                    wo_l, wi_l, eval_lobes,
-                                                    static_exp)
-                ucos = f_unit_e * jnp.abs(wi_l.z)
+                wi, pdf_l, li_s, dist, _phit = smp
+                cos_aw = wr_w.dot(wi) if wr_w is not None \
+                    else jnp.zeros(shp, jnp.float32)
+                pdf_b, f_unit_e = _bsdf_eval_pdf_dots(
+                    kind, exponent, wo_l.z, nd_i, cos_aw, eval_lobes,
+                    static_exp)
+                ucos = f_unit_e * jnp.abs(nd_i)
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
                     w = _safe_div(np.float32(1.0), pdf_l)
                 else:
                     w = _safe_div(np.float32(1.0), pdf_l + pdf_b)
-                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
-                    & (ucos != 0.0) & ~color.is_black()
+                ok = nee_base & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0)
                 okf = jnp.where(ok & ~occ, w * sel_scale, 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 contrib = col_nee_tbl * emit_l * bp
 
                 if use_texp and (grad or residual):
-                    kap = _kappa(exponent, wo_l, wi_l)
+                    kap = _kappa_dot(exponent, cos_aw)
                 if residual:
                     res_planes[res_ix[("B", bounce, i)]] = bp
                     if use_texp:
@@ -1920,6 +2025,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 addx = jnp.zeros(shp, jnp.float32) if use_texp else None
 
             ld = v3_zeros(o.x)
+            # common per-bounce NEE gate (hoisted out of the per-light
+            # blocks): a black eval color kills every light's term
+            nee_base = nee_act & ~color.is_black()
             if cfg.nee == "single" and L > 1:
                 # one uniformly-chosen light per (tile, bounce), compensated
                 # by L. The scalar pick keeps all SIMD lanes coherent, and
@@ -1954,7 +2062,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
 
                 def mk_branch(i, lt):
                     def br(u1, u2):
-                        wi, pdf_l, li_s, dist = _light_sample(
+                        wi, pdf_l, li_s, dist, _phit = _light_sample(
                             lt, world_radius, hp, nrm, u1, u2)
                         is_delta_l = np.float32(
                             1.0 if lt["kind"] in (klights.POINT,
@@ -1983,8 +2091,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 w = jnp.where(is_delta_l,
                               _safe_div(np.float32(1.0), pdf_l),
                               _safe_div(np.float32(1.0), pdf_l + pdf_b))
-                ok = nee_act & (pdf_l > 0.0) & (li_s != 0.0) \
-                    & (ucos != 0.0) & ~color.is_black()
+                ok = nee_base & (pdf_l > 0.0) & (li_s != 0.0) \
+                    & (ucos != 0.0)
                 # light identity is dynamic here: only rows skippable for
                 # EVERY light can be pruned from the shared sweep
                 tm = dist - km.SHADOW_EPSILON
@@ -2057,14 +2165,19 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     azim = (cphi_s, _sin_from_phi_cos(cphi_s, u2))
                 smps = [_light_sample(lt, world_radius, hp, nrm, u1, u2,
                                       azim) for lt in lights]
+                # n.wi per shadow ray: shared between the occlusion
+                # sweep's origin offsets and the NEE eval's wi_l.z
+                nds = [nrm.dot(smp[0]) for smp in smps]
+                if all(smp[4] is not None for smp in smps):
+                    phits_prev = [smp[4] for smp in smps]
                 occs = _any_hit_multi(
                     static, hp, nrm,
                     [(smp[0], smp[3] - km.SHADOW_EPSILON) for smp in smps],
                     occl_skips, robust=(cfg.shadow == "robust"),
-                    sphere_skips=sph_skips)
+                    sphere_skips=sph_skips, nd=nds)
                 for i, lt in enumerate(lights):
                     ld = ld + nee_light(i, lt, smps[i], occs[i],
-                                        np.float32(1.0))
+                                        np.float32(1.0), nds[i])
             big_l = big_l + beta * ld
             e_term = e_term + ld
 

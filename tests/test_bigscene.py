@@ -441,5 +441,89 @@ def test_bigscene_textures_match_baked():
                                     interpret=True, clamp=False))
     assert np.array_equal(a, b)
     assert np.isfinite(a).all() and a.mean() > 0.01
-    with _pytest.raises(NotImplementedError, match="forward-only"):
-        bs.make_bigscene_diff_tracer(sc, cfg, interpret=True)
+
+
+@pytest.mark.slow
+def test_bigscene_texture_gradients():
+    """Texture gradients through the TABLE kernel (the last kernel
+    asymmetry, closed): replay == residual == the baked kernel's
+    (FD-tested) gradients at the same draws, for checker colors AND
+    image texels, and a direct FD check through the residual tracer.
+    rr_start=3 with max_depth=3 keeps RR out so FD is clean."""
+    img = np.linspace(0.1, 0.9, 4 * 4 * 3,
+                      dtype=np.float32).reshape(4, 4, 3)
+    sc = builders.cornell_box(width=12, height=12, floor_checker=True,
+                              back_image=img)
+    cfg = wf.KernelConfig(max_depth=3, rows=8)
+    n = 12 * 12 * 2
+    key = jax.random.key(3)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32) % (12 * 12)
+    px = (pid % 12).astype(jnp.float32) + u[:, 0]
+    py = (pid // 12).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(sc.camera, jnp.stack([px, py], -1))
+    env0 = jnp.zeros(3, jnp.float32)
+    seed = jnp.int32(5)
+
+    tracers = {
+        "baked": wf.make_pallas_diff_tracer(sc, cfg, interpret=True,
+                                            backward="replay"),
+        "replay": bs.make_bigscene_diff_tracer(sc, cfg, interpret=True,
+                                               backward="replay"),
+        "residual": bs.make_bigscene_diff_tracer(sc, cfg, interpret=True,
+                                                 backward="residual"),
+    }
+    args = (sc.mat_diffuse, sc.mat_specular, sc.emission,
+            sc.textures.color_a, sc.textures.color_b, sc.textures.image)
+    gs, vals = {}, {}
+    for name, tr in tracers.items():
+        def loss(dd, ss, ee, ta, tb, ti, tr=tr):
+            return jnp.sum(tr(dd, ss, ee, ta, tb, ti, env0, o, d, seed))
+        vals[name] = float(loss(*args))
+        assert np.isfinite(vals[name])
+        gs[name] = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    # the two table-kernel backwards agree tightly
+    for a, b in zip(gs["replay"], gs["residual"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # and match the baked kernel (same draws; forward is bitwise-equal).
+    # d_emission is compared on EMISSIVE rows only: the baked kernel
+    # statically prunes its per-row emission accumulators to rows_e,
+    # while the row-tagged table backward reports every visible row's
+    # (equally valid) emission gradient.
+    assert abs(vals["replay"] - vals["baked"]) < 1e-3 * abs(vals["baked"])
+    emissive = np.asarray(sc.emission).sum(-1) > 0
+    for i, (a, b) in enumerate(zip(gs["replay"], gs["baked"])):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        if i == 2:
+            a, b = a[emissive], b[emissive]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    # texture adjoints are live (floor checker + back-wall image visible)
+    assert np.abs(np.asarray(gs["residual"][3])).sum() > 0
+    assert np.abs(np.asarray(gs["residual"][5])).sum() > 0
+
+    # direct FD through the residual tracer: one checker channel, one texel
+    def loss_res(ta, ti):
+        return float(jnp.sum(tracers["residual"](
+            sc.mat_diffuse, sc.mat_specular, sc.emission,
+            ta, sc.textures.color_b, ti, env0, o, d, seed)))
+
+    ta0 = np.asarray(sc.textures.color_a)
+    ti0 = np.asarray(sc.textures.image)
+    eps = 1e-2
+    ta_p = ta0.copy(); ta_p[0, 1] += eps
+    ta_m = ta0.copy(); ta_m[0, 1] -= eps
+    fd_ta = (loss_res(jnp.asarray(ta_p), sc.textures.image)
+             - loss_res(jnp.asarray(ta_m), sc.textures.image)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(gs["residual"][3])[0, 1], fd_ta,
+                               rtol=5e-3, atol=1e-5)
+    # pick the texel with the largest adjoint so FD is well-conditioned
+    g_ti = np.abs(np.asarray(gs["residual"][5])).sum(-1)
+    iy, ix = np.unravel_index(np.argmax(g_ti[0]), g_ti[0].shape)
+    ti_p = ti0.copy(); ti_p[0, iy, ix, 0] += eps
+    ti_m = ti0.copy(); ti_m[0, iy, ix, 0] -= eps
+    fd_ti = (loss_res(sc.textures.color_a, jnp.asarray(ti_p))
+             - loss_res(sc.textures.color_a, jnp.asarray(ti_m))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(gs["residual"][5])[0, iy, ix, 0],
+                               fd_ti, rtol=5e-3, atol=1e-5)

@@ -140,7 +140,7 @@ def test_light_sample_pdf_match(scene):
     for i, lt in enumerate(static["lights"]):
         ref = klights.sample_li(scene.lights, i, wr, p, n_sh, u)
         emit = np.asarray(scene.lights.emit[i])
-        wi_k, pdf_k, li_s, dist_k = wf._light_sample(
+        wi_k, pdf_k, li_s, dist_k, _phit = wf._light_sample(
             lt, float(np.asarray(wr)), _v3(p), _v3(n_sh),
             u[:, 0], u[:, 1])
         # when extract_static proves no surface sits inside this sphere
