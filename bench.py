@@ -46,10 +46,9 @@ def _rays(scene, n):
 def _bench_kernel(scene):
     from kytpu.kernels import wavefront as wf
 
-    # rows=16 keeps the backward pass's per-row adjoint accumulator planes
-    # inside VMEM (rows=64 spills: 31 -> 35 Mrays/s measured)
+    # rows re-tuned round 4 (fwd 214 Mrays/s at 24 vs 204 at 16)
     tracer = wf.make_pallas_diff_tracer(scene, wf.KernelConfig(max_depth=5,
-                                                               rows=16))
+                                                               rows=24))
     o, d = _rays(scene, LANES)
     jax.block_until_ready((o, d))
 

@@ -154,10 +154,6 @@ def render(scene, spp: int = 16, seed: int = 1234,
         return kbig.render_bigscene(scene, spp=spp, seed=seed, cfg=kcfg,
                                     clamp=clamp,
                                     rays_per_pass=rays_per_pass)
-    if engine == "hybrid":
-        from kytpu.integrator.hybrid import render_hybrid
-        return render_hybrid(scene, spp=spp, seed=seed, cfg=cfg,
-                             clamp=clamp, rays_per_pass=rays_per_pass)
     if engine == "pallas":
         from kytpu.kernels import wavefront as kwf
         if isinstance(cfg, kwf.KernelConfig):
@@ -172,6 +168,11 @@ def render(scene, spp: int = 16, seed: int = 1234,
                 shadow=getattr(cfg, "shadow", "parity"))
         return kwf.render_pallas(scene, spp=spp, seed=seed, cfg=kcfg,
                                  clamp=clamp, rays_per_pass=rays_per_pass)
+    if engine != "jnp":
+        raise ValueError(
+            f"unknown engine {engine!r}: expected 'jnp', 'pallas' or "
+            "'bigscene' (the hybrid per-bounce-sweep engine was removed "
+            "in round 4 — see docs/ROADMAP.md item D)")
     cfg = cfg or kpath.PathConfig()
     if cfg.sampler == "stratified" and cfg.strata == (1, 1):
         import dataclasses

@@ -57,11 +57,11 @@ LANE = 128
 class KernelConfig:
     max_depth: int = 5
     rr_start: int = 3
-    # lanes per tile = rows * 128. 16 measured best on v5e for BOTH
-    # directions (fwd 166/162/125 Mrays/s at 16/32/64 on veach; fwd+bwd
-    # 151/150 at 16/32 — benchmarks/kernel_ab.py): smaller tiles keep the
-    # whole bounce-loop working set + adjoint accumulators in VMEM
-    rows: int = 16
+    # lanes per tile = rows * 128 (multiples of 8). Re-tuned round 4
+    # after the ops/bounce cuts: veach fwd 190.7 / 204 / 214 / 202.7
+    # Mrays/s at rows 8 / 16 / 24 / 32 — 24 balances the bounce-loop
+    # VMEM working set against per-tile launch overhead
+    rows: int = 24
     nee: str = "all"        # "all" lights per vertex | "single" uniform pick
     # "random": on-core PRNG (hash fallback under interpret).
     # "sobol": in-kernel hash-based Owen-scrambled (0,2)-sequence (Burley,
@@ -654,29 +654,22 @@ def _planar_hit(s, o: V3, d: V3):
 
 
 def _closest_hit(static, o: V3, d: V3):
-    """Baked-geometry closest hit. Returns (t, sid, valid, normal)."""
+    """Baked-geometry closest hit. Returns (t, sid, valid, normal).
+
+    The sweep carries only (t, sid); the winner's normal is resolved
+    ONCE post-loop from sid (planar normals are host constants; sphere
+    normals need a single hit-point build instead of one per candidate
+    sphere) — ~40 fewer VPU ops per lane per bounce than carrying the
+    normal through the loop."""
     shp = o.x.shape
     t_best = jnp.full(shp, np.float32(np.inf))
     sid = jnp.full(shp, np.int32(-1))
-    n_best = v3_zeros(o.x)
 
     for row, s in enumerate(static["planar"]):
-        nrm = _cv3(s["n"])
         t, inside = _planar_hit(s, o, d)
         accept = inside & (t > km.SHAPE_EPSILON) & (t < t_best)
-        n_row = nrm
-        if s["kind"] == kshapes.RECT:
-            flip = nrm.dot(d) > 0
-            n_row = V3(jnp.where(flip, -nrm.x, nrm.x),
-                       jnp.where(flip, -nrm.y, nrm.y),
-                       jnp.where(flip, -nrm.z, nrm.z))
-        else:
-            n_row = V3(jnp.broadcast_to(n_row.x, shp).astype(jnp.float32),
-                       jnp.broadcast_to(n_row.y, shp).astype(jnp.float32),
-                       jnp.broadcast_to(n_row.z, shp).astype(jnp.float32))
         t_best = jnp.where(accept, t, t_best)
         sid = jnp.where(accept, np.int32(row), sid)
-        n_best = n_row.where(accept, n_best)
 
     base = len(static["planar"])
     for j, s in enumerate(static["spheres"]):
@@ -697,13 +690,43 @@ def _closest_hit(static, o: V3, d: V3):
         t2_ok = t2 > km.SHAPE_EPSILON
         t = jnp.where(t1_ok, t1, t2)
         accept = (discr >= 0) & (t1_ok | t2_ok) & (t < t_best)
-        hp = o + d * t
-        n_row = (hp - c) * (np.float32(1.0) / r)
         t_best = jnp.where(accept, t, t_best)
         sid = jnp.where(accept, np.int32(base + j), sid)
-        n_best = n_row.where(accept, n_best)
 
     valid = sid >= 0
+
+    # ---- post-loop normal resolve ----
+    zero = jnp.zeros(shp, jnp.float32)
+    nx, ny, nz = zero, zero, zero
+    is_rect = sid < np.int32(-1)   # statically-false mask
+    for row, s in enumerate(static["planar"]):
+        m = sid == row
+        n = s["n"]
+        nx = jnp.where(m, np.float32(n[0]), nx)
+        ny = jnp.where(m, np.float32(n[1]), ny)
+        nz = jnp.where(m, np.float32(n[2]), nz)
+        if s["kind"] == kshapes.RECT:
+            is_rect = is_rect | m
+    # rect normals flip toward the ray (one flip for the winner instead
+    # of one per candidate row)
+    flip = is_rect & (nx * d.x + ny * d.y + nz * d.z > 0)
+    n_best = V3(jnp.where(flip, -nx, nx), jnp.where(flip, -ny, ny),
+                jnp.where(flip, -nz, nz))
+    if static["spheres"]:
+        cx, cy, cz = zero, zero, zero
+        inv_r = jnp.ones(shp, jnp.float32)
+        for j, s in enumerate(static["spheres"]):
+            m = sid == base + j
+            c = s["c"]
+            cx = jnp.where(m, np.float32(c[0]), cx)
+            cy = jnp.where(m, np.float32(c[1]), cy)
+            cz = jnp.where(m, np.float32(c[2]), cz)
+            inv_r = jnp.where(m, np.float32(1.0 / s["r"]), inv_r)
+        n_sp = V3((o.x + d.x * t_best - cx) * inv_r,
+                  (o.y + d.y * t_best - cy) * inv_r,
+                  (o.z + d.z * t_best - cz) * inv_r)
+        n_best = n_sp.where(sid >= base, n_best)
+
     return t_best, sid, valid, n_best
 
 
@@ -1370,13 +1393,12 @@ def _light_sample(lt, world_radius, p: V3, n_shade: V3, u1, u2, azim=None):
             + n_f * cos_t
         depth2 = r * r - d2c * sin2
         ds = dist_c * cos_t - _safe_sqrt(depth2)
-        pdf_cone = _safe_div(np.float32(1.0),
-                             np.float32(km.TWO_PI) * (1.0 - cos_max))
-        pdf_cone = jnp.where(jnp.isfinite(pdf_cone), pdf_cone, 0.0)
+        q_cone = np.float32(km.TWO_PI) * (1.0 - cos_max)
+        pdf_cone = jnp.where(q_cone > 0.0, np.float32(1.0) / q_cone, 0.0)
         # the surface cosine at the sampled point is sqrt(depth2)/r, so
         # "facing" (n_l.(-wi) > 0, ky.cpp:1497) is just depth2 > 0
         outside = d2c > r * r
-        ok_cone = (depth2 > 0) & (pdf_cone > 0) & outside
+        ok_cone = (depth2 > 0) & (q_cone > 0.0) & outside
 
         if not lt.get("inside_possible", True):
             # no scene surface can sit strictly inside this light's ball
@@ -1958,11 +1980,14 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     static_exp)
                 ucos = f_unit_e * jnp.abs(nd_i)
                 if lt["kind"] in (klights.POINT, klights.DIRECTION):
-                    w = _safe_div(np.float32(1.0), pdf_l)
+                    w = np.float32(1.0) / pdf_l
                 else:
-                    w = _safe_div(np.float32(1.0), pdf_l + pdf_b)
-                ok = nee_base & (pdf_l > 0.0) & (li_s != 0.0) \
-                    & (ucos != 0.0)
+                    # raw div: ok gates on pdf_l > 0, so the masked lanes'
+                    # inf never escapes the where below
+                    w = np.float32(1.0) / (pdf_l + pdf_b)
+                # li_s/ucos multiply into bp (all finite), so their
+                # != 0 gates are redundant with the product being zero
+                ok = nee_base & (pdf_l > 0.0)
                 okf = jnp.where(ok & ~occ, w * sel_scale, 0.0)
                 bp = li_s * ucos * okf * lobe_scale
                 contrib = col_nee_tbl * emit_l * bp
@@ -2091,8 +2116,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 w = jnp.where(is_delta_l,
                               _safe_div(np.float32(1.0), pdf_l),
                               _safe_div(np.float32(1.0), pdf_l + pdf_b))
-                ok = nee_base & (pdf_l > 0.0) & (li_s != 0.0) \
-                    & (ucos != 0.0)
+                ok = nee_base & (pdf_l > 0.0)
                 # light identity is dynamic here: only rows skippable for
                 # EVERY light can be pruned from the shared sweep
                 tm = dist - km.SHADOW_EPSILON

@@ -41,7 +41,7 @@ res = {"process": pid, "global_devices": len(jax.devices()),
        "local_devices": jax.local_device_count()}
 
 scene = builders.cornell_box(width=16, height=8)
-cfg = kpath.PathConfig(max_depth=3, variant="iteration", strategy="both_mis")
+cfg = kpath.PathConfig(max_depth=2, variant="iteration", strategy="both_mis")
 mesh = multihost.global_mesh(shape=(len(jax.devices()) // 2, 2))
 
 # 1) multi-process sharded render == local single-device render, bitwise.

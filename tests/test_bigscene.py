@@ -381,47 +381,6 @@ def test_bigscene_residual_matches_replay():
                                    rtol=1e-5, atol=1e-8)
 
 
-def test_hybrid_engine_matches_fast():
-    """Engine #4 (per-bounce Pallas sweeps + fast-engine XLA transport):
-    render(engine="hybrid") equals the fast jnp engine at the same seed to
-    float reassociation — the estimator, RNG construction and chunking are
-    shared; only the geometry primitives differ."""
-    from kytpu.integrator.fast import FastConfig
-    from kytpu.integrator.hybrid import render_hybrid
-    from kytpu.integrator.render import render
-    from kytpu.scene import builders
-
-    sc = builders.random_spheres(n=70, width=16, height=16, seed=2)
-    cfg = FastConfig(max_depth=3)
-    a = np.asarray(render(sc, spp=4, seed=9, cfg=cfg, mode="fast",
-                          clamp=False, rays_per_pass=4 * 256))
-    b = np.asarray(render_hybrid(sc, spp=4, seed=9, cfg=cfg, clamp=False,
-                                 interpret=True, rays_per_pass=4 * 256))
-    np.testing.assert_allclose(a, b, atol=2e-5)
-
-
-def test_hybrid_engine_cornell_robust_shadow():
-    """Cornell (10 planar + 2 spheres) through the hybrid engine.
-
-    Regression for two round-3 advisor findings: the binding-table build
-    iterated PADDED table rows (sphere padding entries computed a negative
-    index into sp_center -> IndexError on this exact scene), and robust
-    shadow mode never excluded a light's own emitting surface (area-light
-    NEE self-occluded -> darker than the fast engine). Both engines at the
-    same seed, shadow="robust", must agree to float reassociation."""
-    from kytpu.integrator.fast import FastConfig
-    from kytpu.integrator.hybrid import render_hybrid
-    from kytpu.integrator.render import render
-
-    sc = builders.cornell_box(width=12, height=12)
-    cfg = FastConfig(max_depth=3, shadow="robust")
-    a = np.asarray(render(sc, spp=4, seed=5, cfg=cfg, mode="fast",
-                          clamp=False, rays_per_pass=4 * 144))
-    b = np.asarray(render_hybrid(sc, spp=4, seed=5, cfg=cfg, clamp=False,
-                                 interpret=True, rays_per_pass=4 * 144))
-    np.testing.assert_allclose(a, b, atol=2e-5)
-
-
 @pytest.mark.slow
 def test_bigscene_textures_match_baked():
     """In-kernel textures in the TABLE kernel (checker + small pow2 image

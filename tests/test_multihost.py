@@ -120,7 +120,7 @@ def test_cross_topology_resume(tmp_path):
     from kytpu.scene import builders
 
     sc = builders.cornell_box(width=16, height=8)
-    cfg = kpath.PathConfig(max_depth=3)
+    cfg = kpath.PathConfig(max_depth=2)
     npix = 16 * 8
 
     mesh_a = kmesh.make_mesh(jax.devices()[:4], shape=(2, 2))

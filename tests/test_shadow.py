@@ -143,9 +143,9 @@ class TestKernels:
         from kytpu.kernels import wavefront as wf
         scene = builders.random_spheres(n=24, width=24, height=24, seed=1)
         key = jax.random.key(0)
-        u = jax.random.uniform(key, (4096, 2))
+        u = jax.random.uniform(key, (2048, 2))
         w, h = scene.camera.width, scene.camera.height
-        pid = jnp.arange(4096, dtype=jnp.int32) % (w * h)
+        pid = jnp.arange(2048, dtype=jnp.int32) % (w * h)
         px = (pid % w).astype(jnp.float32) + u[:, 0]
         py = (pid // w).astype(jnp.float32) + u[:, 1]
         o, d = kscene.generate_rays(scene.camera,

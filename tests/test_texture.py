@@ -325,7 +325,7 @@ def test_pallas_train_step_recovers_checker_colors():
     step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
                                         engine="pallas", names=names)
     losses = []
-    for i in range(4):
+    for i in range(3):
         params, opt, loss = step(params, opt, key)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
@@ -453,7 +453,7 @@ def test_pallas_train_step_recovers_image_texels():
     step, params, opt = make_train_step(wrong, target, spp=2, cfg=cfg,
                                         engine="pallas", names=names)
     losses = []
-    for i in range(4):
+    for i in range(3):
         params, opt, loss = step(params, opt, key)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
