@@ -62,6 +62,11 @@ class KernelConfig:
     # Mrays/s at rows 8 / 16 / 24 / 32 — 24 balances the bounce-loop
     # VMEM working set against per-tile launch overhead
     rows: int = 24
+    # tile rows for the RESIDUAL backward kernel only (0 = same as rows).
+    # The cache-algebra backward has no RNG, so it may retile the residual
+    # arrays freely; its ~3*3*M per-row accumulator planes scale with the
+    # tile height, so it prefers smaller tiles than the forward
+    bwd_rows: int = 0
     nee: str = "all"        # "all" lights per vertex | "single" uniform pick
     # "random": on-core PRNG (hash fallback under interpret).
     # "sobol": in-kernel hash-based Owen-scrambled (0,2)-sequence (Burley,
@@ -3204,27 +3209,52 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             return dd, ds, de, denv
 
         if backward == "residual":
+            # the residual backward is RNG-free, so it may use its own
+            # (smaller) tile height over the same global arrays
+            brows = cfg.bwd_rows or cfg.rows
+            bgrid = rows // brows
+            bblk = pl.BlockSpec((brows, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+            def bacc_blk(nplanes):
+                return pl.BlockSpec((nplanes, brows, LANE),
+                                    lambda i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            def bacc_shape(nplanes):
+                return jax.ShapeDtypeStruct((nplanes, brows, LANE),
+                                            jnp.float32)
+
             def res_blk(nplanes):
-                return pl.BlockSpec((nplanes, cfg.rows, LANE),
+                return pl.BlockSpec((nplanes, brows, LANE),
                                     lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
 
             tex_in, tex_spec = _tex_args(texa, texb, timg)
+            bacc_extra_specs = ([bacc_blk(m_rows)] if use_texp else []) \
+                + ([bacc_blk(3 * t_rows), bacc_blk(3 * t_rows)]
+                   if has_tex else []) \
+                + ([bacc_blk(3 * n_texels)] if has_img else [])
+            bacc_extra_shapes = ([bacc_shape(m_rows)] if use_texp
+                                 else []) \
+                + ([bacc_shape(3 * t_rows), bacc_shape(3 * t_rows)]
+                   if has_tex else []) \
+                + ([bacc_shape(3 * n_texels)] if has_img else [])
             outs = pl.pallas_call(
-                bwd_res_kernel, grid=(grid,),
+                bwd_res_kernel, grid=(bgrid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           smem((m_rows, 3)), smem((m_rows, 3)),
                           smem((m_rows, 3))]
                 + tex_spec
                 + [smem((max(n_lights, 1), 3)), smem((1, 3)),
-                   blk, blk, blk, blk, blk, blk,
+                   bblk, bblk, bblk, bblk, bblk, bblk,
                    res_blk(res_n), res_blk(cfg.max_depth + 1)],
-                out_specs=[_acc_blk(3 * m_rows), _acc_blk(3 * m_rows),
-                           _acc_blk(3 * m_rows), _acc_blk(3)]
-                + acc_extra_specs,
-                out_shape=[_acc_shape(3 * m_rows), _acc_shape(3 * m_rows),
-                           _acc_shape(3 * m_rows), _acc_shape(3)]
-                + acc_extra_shapes,
+                out_specs=[bacc_blk(3 * m_rows), bacc_blk(3 * m_rows),
+                           bacc_blk(3 * m_rows), bacc_blk(3)]
+                + bacc_extra_specs,
+                out_shape=[bacc_shape(3 * m_rows), bacc_shape(3 * m_rows),
+                           bacc_shape(3 * m_rows), bacc_shape(3)]
+                + bacc_extra_shapes,
                 interpret=interpret,
             )(seed_arr, diffuse, specular, emission, *tex_in, light_emit,
               env.reshape(1, 3), gx, gy, gz, flx, fly, flz, resf, resi)
