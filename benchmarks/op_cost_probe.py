@@ -8,7 +8,6 @@ extra mul/select traffic. Honest tunnel timing.
 timeout 1800 python benchmarks/op_cost_probe.py
 """
 
-import functools
 import json
 import os
 import sys

@@ -19,7 +19,6 @@ packing across tiles requires per-bounce relaunch + HBM state traffic
 timeout 1800 python benchmarks/rowpack_probe.py
 """
 
-import functools
 import json
 import os
 import sys

@@ -168,7 +168,9 @@ def render(scene, spp: int = 16, seed: int = 1234,
                 shadow=getattr(cfg, "shadow", "parity"))
         return kwf.render_pallas(scene, spp=spp, seed=seed, cfg=kcfg,
                                  clamp=clamp, rays_per_pass=rays_per_pass)
-    if engine != "jnp":
+    # "fast"/"path" are accepted aliases of "jnp" (the cfg TYPE selects
+    # the integrator inside trace_lanes)
+    if engine not in ("jnp", "fast", "path"):
         raise ValueError(
             f"unknown engine {engine!r}: expected 'jnp', 'pallas' or "
             "'bigscene' (the hybrid per-bounce-sweep engine was removed "

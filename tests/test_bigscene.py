@@ -388,8 +388,6 @@ def test_bigscene_textures_match_baked():
     the static per-rec texture machinery (wavefront.py:873-996) applies
     unchanged, selected by the carried global row. Forward-only (the diff
     tracer raises; textured training routes to the baked kernel)."""
-    import pytest as _pytest
-
     img = np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
     sc = builders.cornell_box(width=16, height=16, floor_checker=True,
                               back_image=img)
