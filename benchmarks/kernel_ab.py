@@ -11,6 +11,11 @@ Results (2026-08-18, v5e) — every production choice stands:
     sampler:  random 151.3 vs sobol 146.5 (sobol's 18% lower MSE costs 3%)
     backward: residual 151.3 vs replay 80.7 (coefficient cache is 1.9x)
 
+Round-4 re-run (2026-08-20, after the ops/bounce cuts; rows default 24,
+fwd sweep in BASELINE.md): sobol+residual 177.6 at rows=16 (random 186.7
+— sobol now costs ~5%); random+replay 99.8 vs residual 187.8 (still
+1.9x).
+
 Run on the TPU:  timeout 3600 python benchmarks/kernel_ab.py
 """
 
