@@ -137,8 +137,11 @@ def main():
     spp = 16 if quick else 64
     scene = builders.cornell_box(width=size, height=size)
     kcfg = kwf.KernelConfig(max_depth=5)
+    # n=8: a full-frame call is one ~25 ms device launch, and the 2-launch
+    # marginal was jitter-dominated through the tunnel (measured 69-554
+    # Mrays/s across runs); 8 launches span enough device time to be stable
     dt = _time(lambda i: kwf.render_pallas(scene, spp=spp, seed=1 + i,
-                                           cfg=kcfg), n=2)
+                                           cfg=kcfg), n=8)
     rays = size * size * spp
     results.append(dict(metric="cornell_render_rays_per_s", value=rays / dt,
                         unit="rays/s", config=f"{size}x{size}@{spp}spp"))
@@ -161,7 +164,7 @@ def main():
 
     # 3. AOV pass (deterministic geometry oracle)
     dt = _time(lambda i: render(scene_v, spp=4, seed=1 + i, mode="aov",
-                                aov="normal"))
+                                aov="normal"), n=8)
     results.append(dict(metric="aov_normal_rays_per_s",
                         value=npix * 4 / dt, unit="rays/s",
                         config="512x308@4spp"))

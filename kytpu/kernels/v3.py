@@ -17,6 +17,36 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _const_of(v):
+    """The python float of a baked scalar constant, else None (traced)."""
+    if isinstance(v, (float, int, np.floating, np.integer)):
+        return float(v)
+    return None
+
+
+def _cmul(a, b):
+    """a * b with trace-time folding of exact 0 / +-1 CONSTANT factors.
+
+    Scene geometry is baked into the kernels as host constants, and
+    axis-aligned boxes (cornell, the veach floor/wall planes) make most
+    normal / dual-basis components exactly 0 or +-1. Mosaic does NOT
+    fold x*0 -> 0 (invalid under IEEE without fast-math), so without
+    this every such dead multiply executes on the VPU. Folding here is
+    exact for finite operands (the skipped terms are identically +-0)."""
+    ca, cb = _const_of(a), _const_of(b)
+    c, v = (ca, b) if ca is not None else (cb, a)
+    if c is None:
+        return a * b
+    if c == 0.0:
+        return None
+    if c == 1.0:
+        return v
+    if c == -1.0:
+        return -v
+    return np.float32(c) * v
 
 
 @dataclass(frozen=True)
@@ -47,7 +77,17 @@ class V3:
         return V3(-self.x, -self.y, -self.z)
 
     def dot(self, o: "V3"):
-        return self.x * o.x + self.y * o.y + self.z * o.z
+        terms = [t for t in (_cmul(self.x, o.x), _cmul(self.y, o.y),
+                             _cmul(self.z, o.z)) if t is not None]
+        if not terms:
+            for v in (self.x, self.y, self.z, o.x, o.y, o.z):
+                if _const_of(v) is None:
+                    return jnp.zeros_like(v)
+            return np.float32(0.0)
+        r = terms[0]
+        for t in terms[1:]:
+            r = r + t
+        return r
 
     def cross(self, o: "V3") -> "V3":
         return V3(self.y * o.z - self.z * o.y,
