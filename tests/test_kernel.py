@@ -629,3 +629,38 @@ def test_residual_backward_matches_replay():
         for a, b in zip(grads[0], grads[1]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-5)
+
+
+def test_v3_dot_constant_folding_semantics():
+    """V3.dot folds exact-0 / +-1 CONSTANT components at trace time
+    (Mosaic cannot fold x*0 under IEEE): results must equal the full dot
+    bitwise for finite operands, the all-zero case must return a
+    correctly-shaped zero, and const-const dots must stay scalars."""
+    import numpy as np
+
+    from kytpu.kernels import v3 as kv3
+    from kytpu.kernels.v3 import V3
+
+    rng = np.random.default_rng(0)
+    w = V3(*(jnp.asarray(rng.standard_normal(64), jnp.float32)
+             for _ in range(3)))
+    for c in ((0.0, 1.0, 0.0), (0.0, 0.0, -1.0), (0.5, 0.0, -2.0),
+              (1.0, 1.0, 1.0), (0.3, 0.7, -0.2)):
+        cv = V3(np.float32(c[0]), np.float32(c[1]), np.float32(c[2]))
+        folded = np.asarray(cv.dot(w))
+        full = np.asarray(np.float32(c[0]) * np.asarray(w.x)
+                          + np.float32(c[1]) * np.asarray(w.y)
+                          + np.float32(c[2]) * np.asarray(w.z))
+        np.testing.assert_array_equal(folded, full)
+        # argument order must not matter
+        np.testing.assert_array_equal(np.asarray(w.dot(cv)), folded)
+    # all-zero constant: zero plane of the traced operand's shape
+    z = V3(np.float32(0), np.float32(0), np.float32(0)).dot(w)
+    assert np.asarray(z).shape == (64,) and not np.asarray(z).any()
+    # const-const dot stays a scalar
+    a = V3(np.float32(0), np.float32(2), np.float32(0))
+    b = V3(np.float32(3), np.float32(4), np.float32(5))
+    assert float(a.dot(b)) == 8.0
+    # the helper itself: 0-const factors vanish, +-1 pass through
+    assert kv3._cmul(0.0, w.x) is None
+    assert kv3._cmul(1.0, w.x) is w.x
