@@ -46,10 +46,11 @@ def _rays(scene, n):
 def _bench_kernel(scene):
     from kytpu.kernels import wavefront as wf
 
-    # rows re-tuned round 4 (fwd 214 Mrays/s at 24 vs 204 at 16);
+    # rows re-tuned round 4 (16 after the V3.dot folding: 196.4 vs 195.7
+    # fwd+bwd against 24);
     # ROWS/BWD_ROWS env vars override for A/B sweeps
     tracer = wf.make_pallas_diff_tracer(scene, wf.KernelConfig(
-        max_depth=5, rows=int(os.environ.get("ROWS", "24")),
+        max_depth=5, rows=int(os.environ.get("ROWS", "16")),
         bwd_rows=int(os.environ.get("BWD_ROWS", "0"))))
     o, d = _rays(scene, LANES)
     jax.block_until_ready((o, d))

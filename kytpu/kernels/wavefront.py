@@ -57,11 +57,12 @@ LANE = 128
 class KernelConfig:
     max_depth: int = 5
     rr_start: int = 3
-    # lanes per tile = rows * 128 (multiples of 8). Re-tuned round 4
-    # after the ops/bounce cuts: veach fwd 190.7 / 204 / 214 / 202.7
-    # Mrays/s at rows 8 / 16 / 24 / 32 — 24 balances the bounce-loop
-    # VMEM working set against per-tile launch overhead
-    rows: int = 24
+    # lanes per tile = rows * 128 (multiples of 8). Re-tuned twice in
+    # round 4: after the ops/bounce cuts 24 was best (fwd 190.7 / 204 /
+    # 214 / 202.7 at 8/16/24/32), and after the V3.dot constant folding
+    # the optimum moved back to 16 (fwd 222.8 vs 216.6; fwd+bwd 196.4
+    # vs 195.7) — smaller per-bounce footprint, smaller best tile
+    rows: int = 16
     # tile rows for the RESIDUAL backward kernel only (0 = same as rows).
     # The cache-algebra backward has no RNG, so it may retile the residual
     # arrays freely; its ~3*3*M per-row accumulator planes scale with the
