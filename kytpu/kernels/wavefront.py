@@ -1735,8 +1735,10 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             dti_ref = rest2.pop(0) if img_recs else None
         elif residual:
             (lx_ref, ly_ref, lz_ref, resf_ref, resi_ref) = rest
-            res_planes = [None] * res_n
-            res_ints = [None] * (cfg.max_depth + 1)
+            # residual planes are stored EAGERLY as they are computed
+            # (resf_ref[k] = plane) instead of collected and stacked at
+            # the end — equivalent values, no held-live plane list
+            # (bench-neutral on v5e; Mosaic scheduled the stack fine)
         else:
             (lx_ref, ly_ref, lz_ref) = rest
         pid = pl.program_id(0)
@@ -1846,7 +1848,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 wbm = jnp.where(emit_mask, wb, 0.0)
                 row_add(acc_e, rows_e, sid, g * beta * wbm)
             elif residual:
-                res_planes[res_ix[("wb", bounce)]] = \
+                resf_ref[res_ix[("wb", bounce)]] = \
                     jnp.where(emit_mask, wb, 0.0)
 
             if env_i is not None:
@@ -1866,11 +1868,11 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                     # miss-emission term is linear in env radiance
                     acc_env = acc_env + g * beta * wenv
                 elif residual:
-                    res_planes[res_ix[("wenv", bounce)]] = wenv
+                    resf_ref[res_ix[("wenv", bounce)]] = wenv
 
             if bounce == cfg.max_depth:
                 if residual:
-                    res_ints[bounce] = sid + 1
+                    resi_ref[bounce] = sid + 1
                 continue   # horizon vertex: only its emission terms exist
             cont = alive & valid
 
@@ -2001,9 +2003,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if use_texp and (grad or residual):
                     kap = _kappa_dot(exponent, cos_aw)
                 if residual:
-                    res_planes[res_ix[("B", bounce, i)]] = bp
+                    resf_ref[res_ix[("B", bounce, i)]] = bp
                     if use_texp:
-                        res_planes[res_ix[("Bk", bounce, i)]] = \
+                        resf_ref[res_ix[("Bk", bounce, i)]] = \
                             jnp.where(lobe_is_phong, bp * kap, 0.0)
                 if grad:
                     gb = g * beta
@@ -2141,9 +2143,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if use_texp and (grad or residual):
                     kap1 = _kappa(exponent, wo_l, wi_l)
                 if residual:
-                    res_planes[res_ix[("B", bounce, 0)]] = bp
+                    resf_ref[res_ix[("B", bounce, 0)]] = bp
                     if use_texp:
-                        res_planes[res_ix[("Bk", bounce, 0)]] = \
+                        resf_ref[res_ix[("Bk", bounce, 0)]] = \
                             jnp.where(lobe_is_phong, bp * kap1, 0.0)
                 if grad:
                     gb = g * beta
@@ -2242,9 +2244,9 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             if residual:
                 t_unit = f_unit_s * _safe_div(jnp.abs(wi_l.z), pdf_s) * scale
                 tu_plane = jnp.where(alive_n, t_unit * lobe_scale, 0.0)
-                res_planes[res_ix[("tu", bounce)]] = tu_plane
+                resf_ref[res_ix[("tu", bounce)]] = tu_plane
                 if use_texp:
-                    res_planes[res_ix[("tuk", bounce)]] = jnp.where(
+                    resf_ref[res_ix[("tuk", bounce)]] = jnp.where(
                         lobe_is_phong,
                         tu_plane * _kappa(exponent, wo_l, wi_l), 0.0)
                 if has_delta or has_plastic:
@@ -2269,7 +2271,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         tex_even = jnp.where(
                             onrow & tex_par[ti], np.int32(1), tex_even)
                     packed = packed + tex_even * np.int32(1024)
-                res_ints[bounce] = packed
+                resi_ref[bounce] = packed
                 if img_recs:
                     # continuous texel coords of the hit on its image row
                     # (the bilinear taps are a pure function of these)
@@ -2281,8 +2283,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                         onrow = sid == rec["row"]
                         tx_pl = jnp.where(onrow, tex_xy[ti][0], tx_pl)
                         ty_pl = jnp.where(onrow, tex_xy[ti][1], ty_pl)
-                    res_planes[res_ix[("tx", bounce)]] = tx_pl
-                    res_planes[res_ix[("ty", bounce)]] = ty_pl
+                    resf_ref[res_ix[("tx", bounce)]] = tx_pl
+                    resf_ref[res_ix[("ty", bounce)]] = ty_pl
 
             if grad:
                 # tail radiance for the NEXT vertex:
@@ -2431,11 +2433,7 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
             lx_ref[:] = big_l.x
             ly_ref[:] = big_l.y
             lz_ref[:] = big_l.z
-            if residual:
-                assert all(p is not None for p in res_planes), \
-                    [t for t, k in res_ix.items() if res_planes[k] is None]
-                resf_ref[:] = jnp.stack(res_planes, axis=0)
-                resi_ref[:] = jnp.stack(res_ints, axis=0)
+            # (residual planes already stored eagerly above)
 
     return kernel
 
