@@ -484,3 +484,43 @@ def test_bigscene_texture_gradients():
              - loss_res(sc.textures.color_a, jnp.asarray(ti_m))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(gs["residual"][5])[0, iy, ix, 0],
                                fd_ti, rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_bigscene_texp_plus_texture_gradients():
+    """Trainable exponents AND textures simultaneously through the table
+    kernel: the _bigres_layout interleaves Bk/tuk kappa partners with the
+    tx/ty texel planes, and replay == residual must hold across all seven
+    trainable leaves (diffuse, specular, emission, exponent, texa, texb,
+    texels)."""
+    img = np.linspace(0.1, 0.9, 4 * 4 * 3,
+                      dtype=np.float32).reshape(4, 4, 3)
+    sc = builders.cornell_box(width=8, height=8, floor_checker=True,
+                              back_image=img)
+    cfg = wf.KernelConfig(max_depth=2, rows=8, trainable_exponent=True)
+    n = 64
+    key = jax.random.key(3)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(sc.camera, jnp.stack([px, py], -1))
+    env0 = jnp.zeros(3, jnp.float32)
+    seed = jnp.int32(5)
+    args = (sc.mat_diffuse, sc.mat_specular, sc.emission,
+            jnp.asarray(sc.mat_exponent), sc.textures.color_a,
+            sc.textures.color_b, sc.textures.image)
+    gs = {}
+    for bwd in ("replay", "residual"):
+        tr = bs.make_bigscene_diff_tracer(sc, cfg, interpret=True,
+                                          backward=bwd)
+
+        def loss(dd, ss, ee, xp, ta, tb, ti, tr=tr):
+            return jnp.sum(tr(dd, ss, ee, xp, ta, tb, ti, env0, o, d,
+                              seed))
+
+        assert np.isfinite(float(loss(*args)))
+        gs[bwd] = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gs["replay"], gs["residual"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
