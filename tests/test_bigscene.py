@@ -524,3 +524,25 @@ def test_bigscene_texp_plus_texture_gradients():
     for a, b in zip(gs["replay"], gs["residual"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_bigscene_cull_modes_bitwise_identical():
+    """Block culling is exact-conservative: "cone" (primary-bounce only,
+    the default), the opt-in "cone+nee" (all-bounce shadow-sweep cull,
+    split compact/unbounded light groups — measured net-negative on v5e
+    but kept as a knob) and "off" must produce bitwise-identical
+    renders."""
+    sc = builders.random_spheres(n=40, width=16, height=16, seed=0)
+    cam = sc.camera
+    npix = 16 * 16
+    xs = (jnp.arange(npix) % 16).astype(jnp.float32) + 0.5
+    ys = (jnp.arange(npix) // 16).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(cam, jnp.stack([xs, ys], -1))
+    outs = {}
+    for cull in ("cone", "cone+nee", "off"):
+        cfg = wf.KernelConfig(max_depth=2, rows=8, cull=cull)
+        tr = bs.make_bigscene_tracer(sc, cfg, interpret=True)
+        outs[cull] = np.asarray(tr(sc, o, d, 3))
+    np.testing.assert_array_equal(outs["cone"], outs["off"])
+    np.testing.assert_array_equal(outs["cone+nee"], outs["off"])
