@@ -15,7 +15,6 @@ strips so the film never crosses the mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

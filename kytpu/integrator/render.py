@@ -10,7 +10,6 @@ like the reference's film accumulation (clamp01(L), ky.cpp:3726) unless
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
