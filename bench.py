@@ -126,20 +126,35 @@ def _bench_jnp(scene):
 
 
 def main():
+    import sys
+    import traceback
+
     from kytpu.scene import builders
 
     scene = builders.veach_mis(width=W, height=H)
+    kernel_error = None
     try:
         rays_per_s, engine = _bench_kernel(scene)
-    except Exception:
+    except Exception as e:
+        # a kernel failure must be UNMISTAKABLE in the recorded JSON (the
+        # jnp engine is ~240x slower — a quiet fallback would masquerade as
+        # a terrible result instead of a regression)
+        traceback.print_exc(file=sys.stderr)
+        print("bench.py: PALLAS KERNEL FAILED — falling back to the jnp "
+              "engine; this is NOT a comparable result", file=sys.stderr)
+        kernel_error = f"{type(e).__name__}: {e}"
         rays_per_s, engine = _bench_jnp(scene)
+        engine = "jnp_fast_FALLBACK"
 
-    print(json.dumps({
+    record = {
         "metric": f"veach_mis_fwd_bwd_rays_per_s_per_chip[{engine}]",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
-    }))
+    }
+    if kernel_error is not None:
+        record["kernel_error"] = kernel_error[:500]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -157,6 +157,14 @@ def sample_all_lights(scene, hit, params, keys, active, strategy: str,
         return jnp.zeros_like(hit.position)
 
     if light_selection == "single":
+        # VARIANCE-ONLY in the jnp engines: lights are heterogeneous
+        # (point/direction/area-rect/area-sphere/env dispatch statically by
+        # kind), so the selected light is evaluated by masking every light's
+        # estimator — the variance is cut to one sample but the COST stays
+        # O(L). Only the Pallas kernels' per-tile scalar pick realizes the
+        # O(1) cost saving. (A per-lane parameter gather would need the
+        # light types homogenized; measured TPU gathers are ~27 ms/1M lanes,
+        # so it would lose anyway — BASELINE.md round-4 VPU table.)
         k_sel, k_draw = krng.split_channels(keys, 2)
         u_sel = krng.uniform(k_sel, sampler=sampler, index=index)
         idx = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
