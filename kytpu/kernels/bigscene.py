@@ -1548,7 +1548,11 @@ def make_bigscene_tracer(scene, cfg: wf.KernelConfig | None = None,
     if cfg.sampler not in ("random", "sobol", "hash"):
         raise NotImplementedError(
             "bigscene kernel: sampler must be 'random', 'sobol' or 'hash'")
-    if interpret is True:
+    if interpret == "generic":
+        # callback-free interpreter (see wavefront.make_pallas_tracer):
+        # required for sharded train steps on CPU meshes
+        interpret = True
+    elif interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
     memo_key = ("big", wf._static_digest(static), cfg, repr(interpret),
@@ -1677,7 +1681,9 @@ def make_bigscene_diff_tracer(scene, cfg: wf.KernelConfig | None = None,
     if cfg.sampler not in ("random", "sobol", "hash"):
         raise NotImplementedError(
             "bigscene kernel: sampler must be 'random', 'sobol' or 'hash'")
-    if interpret is True:
+    if interpret == "generic":
+        interpret = True   # callback-free; see wavefront.make_pallas_tracer
+    elif interpret is True:
         interpret = pltpu.InterpretParams()
     static, tables = extract_tables(scene)
     if backward not in ("replay", "residual"):

@@ -2829,7 +2829,14 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     tex_err = _kernel_texture_support(scene)
     if tex_err:
         raise NotImplementedError(tex_err)
-    if interpret is True:
+    if interpret == "generic":
+        # pallas' generic (callback-free) interpreter: the TPU-semantics
+        # interpreter's host callbacks DEADLOCK inside an SPMD grad on a
+        # multi-device CPU mesh (fwd+bwd callback chains interleaved with
+        # collectives); the kernels use no pltpu primitives when hw_rng
+        # is off, so the generic interpreter is exact here
+        interpret = True
+    elif interpret is True:
         # CPU interpretation needs the TPU-semantics interpreter for the
         # pltpu.prng_* primitives
         interpret = pltpu.InterpretParams()
@@ -2980,7 +2987,11 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     tex_err = _kernel_texture_support(scene)
     if tex_err:
         raise NotImplementedError(tex_err)
-    if interpret is True:
+    if interpret == "generic":
+        # callback-free interpreter; see make_pallas_tracer — required for
+        # sharded (shard_map) train steps on CPU meshes
+        interpret = True
+    elif interpret is True:
         interpret = pltpu.InterpretParams()
     static = extract_static(scene)
     # closure defaults baked into the returned fn (beyond the static
