@@ -23,7 +23,7 @@ DEPTH = int(os.environ.get("DEPTH", "3"))
 CULL = os.environ.get("CULL", "cone")
 sc = builders.random_spheres(n=N, width=256, height=256, seed=0)
 print("surfaces:", int(sc.mat_kind.shape[0]), "cull:", CULL, flush=True)
-cfg = wf.KernelConfig(max_depth=DEPTH, rows=int(os.environ.get("ROWS","16")), cull=CULL)
+cfg = wf.KernelConfig(max_depth=DEPTH, rows=int(os.environ.get("ROWS","16")), cull=CULL, sweep=os.environ.get("SWEEP", "auto"))
 cam = sc.camera
 npix = cam.width * cam.height
 xs = (jnp.arange(npix) % cam.width).astype(jnp.float32) + 0.5

@@ -45,6 +45,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 LANE = 128
 ROWS = 16
+_PREC = (jax.lax.Precision.HIGH if os.environ.get("MXU_PREC") == "high"
+         else jax.lax.Precision.HIGHEST)
 EPS = np.float32(1e-3)
 MAT = 16          # material columns for the resolve micro
 
@@ -74,8 +76,10 @@ def dots_mxu_kernel(S, tab_ref, ox, oy, oz, dx, dy, dz, out):
     for r in range(ROWS):
         Po = _rowmat(None, r, ox, oy, oz)     # (3, 128)
         Pd = _rowmat(None, r, dx, dy, dz)
-        Do = jnp.dot(W, Po, preferred_element_type=jnp.float32)  # (S,128)
-        Dd = jnp.dot(W, Pd, preferred_element_type=jnp.float32)
+        Do = jnp.dot(W, Po, preferred_element_type=jnp.float32,
+                     precision=_PREC)  # (S,128)
+        Dd = jnp.dot(W, Pd, preferred_element_type=jnp.float32,
+                     precision=_PREC)
         out[r:r + 1, :] = jnp.sum(Do + Dd, axis=0, keepdims=True)
 
 
@@ -124,8 +128,10 @@ def _mxu_row_dots(tab_ref, r, ox, oy, oz, dx, dy, dz):
     W = tab_ref[:, 0:3]
     Po = _rowmat(None, r, ox, oy, oz)
     Pd = _rowmat(None, r, dx, dy, dz)
-    Dco = jnp.dot(W, Po, preferred_element_type=jnp.float32)
-    Dcd = jnp.dot(W, Pd, preferred_element_type=jnp.float32)
+    Dco = jnp.dot(W, Po, preferred_element_type=jnp.float32,
+                  precision=_PREC)
+    Dcd = jnp.dot(W, Pd, preferred_element_type=jnp.float32,
+                  precision=_PREC)
     od = jnp.sum(Po * Pd, axis=0, keepdims=True)        # (1,128)
     o2 = jnp.sum(Po * Po, axis=0, keepdims=True)
     return Dco, Dcd, od, o2
@@ -205,12 +211,12 @@ def resolve_onehot_kernel(S, tab_ref, row_ref, *outs):
     for r in range(ROWS):
         rid = row_ref[r:r + 1, :]                     # (1,128)
         oh = jnp.where(iota == rid, np.float32(1.0), np.float32(0.0))
-        # contract over S: (S,128) x (S,MAT) -> (128, MAT)
-        mat = jax.lax.dot_general(
-            oh, tabm, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # back to lane-major planes: one (128, MAT) -> MAT x (1,128)
-        matT = mat.T                                   # (MAT, 128)
+        # contract over S: (S,MAT) x (S,128) -> (MAT, 128); HIGHEST is
+        # EXACT for one-hot weights (the bf16x6 split of each table value
+        # reassembles exactly under 1.0/0.0 multipliers)
+        matT = jax.lax.dot_general(
+            tabm, oh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC)
         for c in range(MAT):
             outs[c][r:r + 1, :] = matT[c:c + 1, :]
 

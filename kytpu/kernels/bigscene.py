@@ -628,6 +628,497 @@ def _any_hit_tables(refs, counts, hp: V3, n_shade: V3, rays,
     return [h != 0 for h in hits]
 
 
+_PREC = jax.lax.Precision.HIGHEST   # f32 multi-pass; DEFAULT is 1-pass bf16
+
+
+def _mxu_dot(W, P):
+    """(M, 3) @ (3, 128) on the MXU with full-f32 passes."""
+    return jax.lax.dot_general(
+        W, P, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC)
+
+
+def _resolve_sweep(cfg: wf.KernelConfig, counts) -> bool:
+    """cfg.sweep -> use_mxu. "auto" = mxu past 64 surfaces: below that the
+    baked kernel exists and tests assert bitwise table==baked parity, which
+    the matmul's last-ulp rounding would break; above it the mxu sweep is
+    4-8x (benchmarks/mxu_probe.py)."""
+    if cfg.sweep == "mxu":
+        return True
+    if cfg.sweep == "scalar":
+        return False
+    return sum(counts.values()) > 64
+
+
+def _row_pair(v3: V3, r):
+    """(3, 128) coordinate matrix of lane-row r of a (ROWS, 128) V3."""
+    return jnp.concatenate([v3.x[r:r + 1, :], v3.y[r:r + 1, :],
+                            v3.z[r:r + 1, :]], axis=0)
+
+
+def _subl_best(tc, base, iota, best_t, best_row):
+    """Fold the (S, 128) candidate t's of one class into the running
+    per-lane best. Ties: lowest row in class, earliest class — matching
+    the scalar sweep's strict `t < t_best` accept order."""
+    tmin = jnp.min(tc, axis=0, keepdims=True)                   # (1,128)
+    win = jnp.min(jnp.where(tc == tmin, iota, np.int32(2 ** 30)),
+                  axis=0, keepdims=True)
+    upd = tmin < best_t
+    best_row = jnp.where(upd, win + np.int32(base), best_row)
+    best_t = jnp.where(upd, tmin, best_t)
+    return best_t, best_row
+
+
+SBLK = 64    # epilogue surface-block: (64,128) intermediates stay in
+             # vregs; full-(S,128) epilogues spill to VMEM and run 3-4x
+             # slower (the round-3 sublane-sweep pathology)
+
+
+def _chunk_rows(n_rows, S, n_vecs):
+    """Lane-rows per batched matmul: keep the (S, n_vecs*chunk*128) f32
+    result ~<8 MB of VMEM while minimizing call count (each HIGHEST-pass
+    matmul call costs ~0.5 ms of overhead at N=128 — measured
+    overhead-bound by 10x, benchmarks/mxu_probe.py)."""
+    budget = 512 * 1024      # ~2 MB: the 16 MB scoped-vmem limit must
+    c = max(1, budget // max(S * n_vecs * LANE, 1))   # also hold the
+    return int(min(n_rows, c))                        # transport state
+
+
+def _closest_hit_tables_mxu(refs, counts, o: V3, d: V3):
+    """MXU-form closest hit: same carry as _closest_hit_tables.
+
+    The per-surface-constant dot products run as (S,3)@(3,N) matmuls on
+    the MXU (full-f32 HIGHEST passes; surfaces in sublanes, lane-rows
+    batched along N), the root/inside epilogue is (S,128) elementwise per
+    lane-row, the class/row winner comes from a sublane min+argmin, and
+    the winner's geometry+material columns are gathered with EXACT
+    one-hot matmuls (a one-hot gather is exact under HIGHEST: the bf16
+    split of each table value reassembles under 1.0/0.0 weights).
+    Family operands are separate (S,3) column slices — Mosaic cannot
+    concatenate slices with different lane offsets but takes them as
+    matmul operands directly.
+
+    The sphere selection uses the matmul (naive) discriminant — its
+    |oc|^2*eps cancellation tail can flip ~1e-4 of grazing winners vs the
+    scalar sweep — and the winner's t and normal are then RECOMPUTED per
+    lane in the stable perp-decomposition form, which is what makes the
+    naive form safe (the round-2 NaN chain started from a non-unit
+    normal, not from the winner pick). Block cone culls don't apply (a
+    matmul has no blocks); the whole-tile dead skip still wraps this
+    call."""
+    tri_ref, rect_ref, disk_ref, sph_ref = refs
+    eps = km.SHAPE_EPSILON
+    INF = np.float32(np.inf)
+    n_rows = o.x.shape[0]
+    S_tri, S_rect = counts["tri"], counts["rect"]
+    S_disk, S_sph = counts["disk"], counts["sphere"]
+    base_rect = S_tri
+    base_disk = S_tri + S_rect
+    base_sph = base_disk + S_disk
+
+    classes = []
+    for name, ref, S, base in (("tri", tri_ref, S_tri, 0),
+                               ("rect", rect_ref, S_rect, base_rect)):
+        if not S:
+            continue
+        consts = (ref[:, PG_NX:PG_NZ + 1], ref[:, PG_F1X:PG_F1Z + 1],
+                  ref[:, PG_F2X:PG_F2Z + 1], ref[:, PG_CN:PG_CN + 1],
+                  ref[:, PG_K1:PG_K1 + 1], ref[:, PG_K2:PG_K2 + 1])
+        classes.append(("planar", name, base, S, ref, consts))
+    if S_disk:
+        p0x = disk_ref[:, DG_PX:DG_PX + 1]
+        p0y = disk_ref[:, DG_PY:DG_PY + 1]
+        p0z = disk_ref[:, DG_PZ:DG_PZ + 1]
+        consts = (disk_ref[:, DG_NX:DG_NZ + 1],
+                  disk_ref[:, DG_PX:DG_PZ + 1],
+                  disk_ref[:, DG_CN:DG_CN + 1],
+                  p0x * p0x + p0y * p0y + p0z * p0z,
+                  disk_ref[:, DG_R2:DG_R2 + 1])
+        classes.append(("disk", "disk", base_disk, S_disk, disk_ref,
+                        consts))
+    if S_sph:
+        rs_ = sph_ref[:, SG_R:SG_R + 1]
+        c2 = (sph_ref[:, SG_CX:SG_CX + 1] ** 2
+              + sph_ref[:, SG_CY:SG_CY + 1] ** 2
+              + sph_ref[:, SG_CZ:SG_CZ + 1] ** 2)
+        consts = (sph_ref[:, SG_CX:SG_CZ + 1], rs_, c2)
+        classes.append(("sphere", "sphere", base_sph, S_sph, sph_ref,
+                        consts))
+
+    Po = [_row_pair(o, r) for r in range(n_rows)]
+    Pd = [_row_pair(d, r) for r in range(n_rows)]
+    od = [jnp.sum(Po[r] * Pd[r], axis=0, keepdims=True)
+          for r in range(n_rows)]
+    o2 = [jnp.sum(Po[r] * Po[r], axis=0, keepdims=True)
+          for r in range(n_rows)]
+    best_t = [jnp.full((1, LANE), INF) for _ in range(n_rows)]
+    best_row = [jnp.full((1, LANE), np.int32(-1)) for _ in range(n_rows)]
+
+    for kind, name, base, S, ref, consts in classes:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+        chunk = _chunk_rows(n_rows, S, 2)
+        for r0 in range(0, n_rows, chunk):
+            rr = list(range(r0, min(r0 + chunk, n_rows)))
+            c = len(rr)
+            Ps = jnp.concatenate([Po[r] for r in rr]
+                                 + [Pd[r] for r in rr], axis=1)
+
+            def sl(D, j, off=0):
+                return D[:, (off * c + j) * LANE:(off * c + j + 1) * LANE]
+
+            if kind == "planar":
+                Wn, Wf1, Wf2, cn, k1, k2 = consts
+                Dn = _mxu_dot(Wn, Ps)
+                Df1 = _mxu_dot(Wf1, Ps)
+                Df2 = _mxu_dot(Wf2, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        t = (cn[sb] - sl(Dn, j)[sb]) / sl(Dn, j, 1)[sb]
+                        a = (sl(Df1, j)[sb] - k1[sb]) \
+                            + t * sl(Df1, j, 1)[sb]
+                        b = (sl(Df2, j)[sb] - k2[sb]) \
+                            + t * sl(Df2, j, 1)[sb]
+                        if name == "tri":
+                            inside = (a >= 0) & (b >= 0) & (a + b <= 1.0)
+                        else:
+                            inside = (a >= 0) & (a <= 1.0) \
+                                & (b >= 0) & (b <= 1.0)
+                        tc = jnp.where(inside & (t > eps), t, INF)
+                        best_t[r], best_row[r] = _subl_best(
+                            tc, base + s0, ib, best_t[r], best_row[r])
+            elif kind == "disk":
+                Wn, Wp, cn, p02, r2 = consts
+                Dn = _mxu_dot(Wn, Ps)
+                Dp = _mxu_dot(Wp, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        t = (cn[sb] - sl(Dn, j)[sb]) / sl(Dn, j, 1)[sb]
+                        rel2 = (o2[r] - 2.0 * sl(Dp, j)[sb] + p02[sb]) \
+                            + 2.0 * t * (od[r] - sl(Dp, j, 1)[sb]) + t * t
+                        tc = jnp.where((rel2 <= r2[sb]) & (t > eps),
+                                       t, INF)
+                        best_t[r], best_row[r] = _subl_best(
+                            tc, base + s0, ib, best_t[r], best_row[r])
+            else:
+                Wc, rs_, c2 = consts
+                Dc = _mxu_dot(Wc, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        rb_ = rs_[sb]
+                        neg_b = sl(Dc, j, 1)[sb] - od[r]
+                        oc2 = c2[sb] - 2.0 * sl(Dc, j)[sb] + o2[r]
+                        discr = rb_ * rb_ - oc2 + neg_b * neg_b
+                        cc = oc2 - rb_ * rb_
+                        sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+                        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0),
+                                        np.float32(-1.0))
+                        q = neg_b + sgn * sq
+                        tq = cc / q
+                        t1 = jnp.minimum(q, tq)
+                        t2 = jnp.maximum(q, tq)
+                        t1_ok = t1 > eps
+                        t = jnp.where(t1_ok, t1, t2)
+                        ok = (discr >= 0) & (rb_ > 0) \
+                            & (t1_ok | (t2 > eps))
+                        tc = jnp.where(ok, t, INF)
+                        best_t[r], best_row[r] = _subl_best(
+                            tc, base + s0, ib, best_t[r], best_row[r])
+
+    # ---- winner resolve: exact chunked one-hot gathers ----
+    geo_rows = [jnp.zeros((3, LANE), jnp.float32) for _ in range(n_rows)]
+    srad_rows = [jnp.zeros((1, LANE), jnp.float32) for _ in range(n_rows)]
+    mat_rows = [jnp.zeros((MAT_COLS, LANE), jnp.float32)
+                for _ in range(n_rows)]
+    for kind, name, base, S, ref, consts in classes:
+        n_cols = ref.shape[1]
+        chunk = _chunk_rows(n_rows, S, 1)
+        for r0 in range(0, n_rows, chunk):
+            rr = list(range(r0, min(r0 + chunk, n_rows)))
+            c = len(rr)
+            loc = jnp.concatenate([best_row[r] for r in rr], axis=1) \
+                - np.int32(base)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (S, c * LANE), 0)
+            oh = jnp.where(iota_c == loc, np.float32(1.0), np.float32(0.0))
+            colsT = jax.lax.dot_general(
+                ref[:, :], oh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+            for j, r in enumerate(rr):
+                csl = colsT[:, j * LANE:(j + 1) * LANE]
+                if kind == "sphere":
+                    geo_rows[r] = geo_rows[r] + csl[SG_CX:SG_CZ + 1]
+                    srad_rows[r] = srad_rows[r] + csl[SG_R:SG_R + 1]
+                    mat_rows[r] = mat_rows[r] + csl[
+                        SPHERE_GEO_COLS:SPHERE_GEO_COLS + MAT_COLS]
+                elif kind == "disk":
+                    geo_rows[r] = geo_rows[r] + csl[DG_NX:DG_NZ + 1]
+                    mat_rows[r] = mat_rows[r] + csl[
+                        DISK_GEO_COLS:DISK_GEO_COLS + MAT_COLS]
+                else:
+                    geo_rows[r] = geo_rows[r] + csl[PG_NX:PG_NZ + 1]
+                    mat_rows[r] = mat_rows[r] + csl[
+                        PLANAR_GEO_COLS:PLANAR_GEO_COLS + MAT_COLS]
+
+    t = jnp.concatenate(best_t, axis=0)                    # (ROWS,128)
+    grow = jnp.concatenate(best_row, axis=0)
+    gx = jnp.concatenate([g[0:1] for g in geo_rows], axis=0)
+    gy = jnp.concatenate([g[1:2] for g in geo_rows], axis=0)
+    gz = jnp.concatenate([g[2:3] for g in geo_rows], axis=0)
+    sr = jnp.concatenate(srad_rows, axis=0)
+    mat = [jnp.concatenate([m[cc:cc + 1] for m in mat_rows], axis=0)
+           for cc in range(MAT_COLS)]
+
+    # ---- winner post-pass on full planes ----
+    is_sph = grow >= np.int32(base_sph)
+    if S_sph:
+        # stable perp-decomposition recompute of the winner's t; the
+        # sphere normal then comes out unit-length by construction
+        c = V3(gx, gy, gz)
+        oc = c - o
+        neg_b = oc.dot(d)
+        perp = oc - d * neg_b
+        discr = sr * sr - perp.length_squared()
+        cc = oc.length_squared() - sr * sr
+        sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        sgn = jnp.where(neg_b >= 0.0, np.float32(1.0), np.float32(-1.0))
+        q = neg_b + sgn * sq
+        tq = cc / q
+        t1 = jnp.minimum(q, tq)
+        t2 = jnp.maximum(q, tq)
+        t1_ok = t1 > eps
+        tp = jnp.where(t1_ok, t1, t2)
+        tp = jnp.where(jnp.isfinite(tp) & (tp > eps), tp, INF)
+        t = jnp.where(is_sph, tp, t)
+        inv_r = np.float32(1.0) / jnp.maximum(sr, np.float32(1e-20))
+        n_sp = (o + d * jnp.where(jnp.isfinite(t), t, 1.0) - c) * inv_r
+        nx = jnp.where(is_sph, n_sp.x, gx)
+        ny = jnp.where(is_sph, n_sp.y, gy)
+        nz = jnp.where(is_sph, n_sp.z, gz)
+    else:
+        nx, ny, nz = gx, gy, gz
+    if S_rect:
+        # two-sided rects: flip the winner's normal toward the ray
+        is_rect = (grow >= np.int32(base_rect)) \
+            & (grow < np.int32(base_disk))
+        flip = is_rect & (nx * d.x + ny * d.y + nz * d.z > 0)
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+
+    miss = grow < 0
+    t = jnp.where(miss, INF, t)
+    vals = dict(t=t, nx=nx, ny=ny, nz=nz,
+                difx=mat[M_DIFX], dify=mat[M_DIFY], difz=mat[M_DIFZ],
+                spcx=mat[M_SPCX], spcy=mat[M_SPCY], spcz=mat[M_SPCZ],
+                emix=mat[M_EMIX], emiy=mat[M_EMIY], emiz=mat[M_EMIZ],
+                kind=mat[M_KIND], exp=mat[M_EXP], eta=mat[M_ETA],
+                sprob=mat[M_SPROB], dprob=mat[M_DPROB], lix=mat[M_LIX],
+                row=mat[M_ROW])
+    # misses must carry the scalar sweep's init values (lix/row = -1)
+    vals["lix"] = jnp.where(miss, np.float32(-1.0), vals["lix"])
+    vals["row"] = jnp.where(miss, np.float32(-1.0), vals["row"])
+    return tuple(vals[f] for f in _Carry.FIELDS)
+
+
+def _any_hit_tables_mxu(refs, counts, hp: V3, n_shade: V3, rays,
+                        robust: bool = False, own=None, nd=None):
+    """MXU-form merged K-ray occlusion (same semantics as
+    _any_hit_tables, no block culls): per lane-row, surface-constant dots
+    against hp / n_shade / each ray direction run as batched matmuls and
+    the range/inside epilogue is (S,128) elementwise with a sublane
+    any(). The K+2 per-lane vectors of a row chunk share one matmul per
+    family."""
+    tri_ref, rect_ref, disk_ref, sph_ref = refs
+    eps = km.SHAPE_EPSILON
+    K = len(rays)
+    n_rows = hp.x.shape[0]
+    if nd is None:
+        nd = [n_shade.dot(wi) for wi, _ in rays]
+    se = [jnp.where(nd[k] < 0.0, np.float32(-km.RAY_OFFSET),
+                    np.float32(km.RAY_OFFSET)) for k in range(K)]
+    if robust:
+        rays = [(rays[k][0], rays[k][1] - se[k] * nd[k]) for k in range(K)]
+    off2 = np.float32(km.RAY_OFFSET * km.RAY_OFFSET)
+
+    def own_row(kind_name, k):
+        if own is not None and own[k] is not None \
+                and own[k][0] == kind_name:
+            return np.int32(own[k][1])
+        return None
+
+    classes = []
+    for name, ref, S in (("tri", tri_ref, counts["tri"]),
+                         ("rect", rect_ref, counts["rect"])):
+        if not S:
+            continue
+        consts = (ref[:, PG_NX:PG_NZ + 1], ref[:, PG_F1X:PG_F1Z + 1],
+                  ref[:, PG_F2X:PG_F2Z + 1], ref[:, PG_CN:PG_CN + 1],
+                  ref[:, PG_K1:PG_K1 + 1], ref[:, PG_K2:PG_K2 + 1])
+        classes.append(("planar", name, S, consts))
+    if counts["disk"]:
+        S = counts["disk"]
+        p0x = disk_ref[:, DG_PX:DG_PX + 1]
+        p0y = disk_ref[:, DG_PY:DG_PY + 1]
+        p0z = disk_ref[:, DG_PZ:DG_PZ + 1]
+        consts = (disk_ref[:, DG_NX:DG_NZ + 1],
+                  disk_ref[:, DG_PX:DG_PZ + 1],
+                  disk_ref[:, DG_CN:DG_CN + 1],
+                  p0x * p0x + p0y * p0y + p0z * p0z,
+                  disk_ref[:, DG_R2:DG_R2 + 1])
+        classes.append(("disk", "disk", S, consts))
+    if counts["sphere"]:
+        S = counts["sphere"]
+        rs_ = sph_ref[:, SG_R:SG_R + 1]
+        c2 = (sph_ref[:, SG_CX:SG_CX + 1] ** 2
+              + sph_ref[:, SG_CY:SG_CY + 1] ** 2
+              + sph_ref[:, SG_CZ:SG_CZ + 1] ** 2)
+        classes.append(("sphere", "sphere", S,
+                        (sph_ref[:, SG_CX:SG_CZ + 1], rs_, c2)))
+
+    Ph = [_row_pair(hp, r) for r in range(n_rows)]
+    Pn = [_row_pair(n_shade, r) for r in range(n_rows)]
+    Pw = [[_row_pair(rays[k][0], r) for k in range(K)]
+          for r in range(n_rows)]
+    hp2 = [jnp.sum(Ph[r] * Ph[r], axis=0, keepdims=True)
+           for r in range(n_rows)]
+    hpn = [jnp.sum(Ph[r] * Pn[r], axis=0, keepdims=True)
+           for r in range(n_rows)]
+    hpw = [[jnp.sum(Ph[r] * Pw[r][k], axis=0, keepdims=True)
+            for k in range(K)] for r in range(n_rows)]
+    nsw = [[nd[k][r:r + 1, :] for k in range(K)] for r in range(n_rows)]
+    se_r = [[se[k][r:r + 1, :] for k in range(K)] for r in range(n_rows)]
+    tmax_r = [[rays[k][1][r:r + 1, :] for k in range(K)]
+              for r in range(n_rows)]
+    hits_r = [[jnp.zeros((1, LANE), jnp.float32) for _ in range(K)]
+              for _ in range(n_rows)]
+
+    def acc_hit(r, k, h):
+        hits_r[r][k] = jnp.maximum(
+            hits_r[r][k],
+            jnp.max(jnp.where(h, np.float32(1.0), np.float32(0.0)),
+                    axis=0, keepdims=True))
+
+    n_vec = 2 + K
+    for cls in classes:
+        kind, name, S = cls[0], cls[1], cls[2]
+        consts = cls[3]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+        chunk = _chunk_rows(n_rows, S, n_vec)
+        for r0 in range(0, n_rows, chunk):
+            rr = list(range(r0, min(r0 + chunk, n_rows)))
+            c = len(rr)
+            Ps = jnp.concatenate(
+                [Ph[r] for r in rr] + [Pn[r] for r in rr]
+                + [Pw[r][k] for k in range(K) for r in rr], axis=1)
+
+            def sl(D, j, off=0):
+                return D[:, (off * c + j) * LANE:(off * c + j + 1) * LANE]
+
+            if kind == "planar":
+                Wn, Wf1, Wf2, cn, k1, k2 = consts
+                Dn = _mxu_dot(Wn, Ps)
+                Df1 = _mxu_dot(Wf1, Ps)
+                Df2 = _mxu_dot(Wf2, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        num_h = cn[sb] - sl(Dn, j)[sb]
+                        num_n = sl(Dn, j, 1)[sb]
+                        a_h = sl(Df1, j)[sb] - k1[sb]
+                        a_n = sl(Df1, j, 1)[sb]
+                        b_h = sl(Df2, j)[sb] - k2[sb]
+                        b_n = sl(Df2, j, 1)[sb]
+                        for k in range(K):
+                            t = (num_h - se_r[r][k] * num_n) \
+                                / sl(Dn, j, 2 + k)[sb]
+                            a = (a_h + se_r[r][k] * a_n) \
+                                + t * sl(Df1, j, 2 + k)[sb]
+                            b = (b_h + se_r[r][k] * b_n) \
+                                + t * sl(Df2, j, 2 + k)[sb]
+                            if name == "tri":
+                                inside = (a >= 0) & (b >= 0) \
+                                    & (a + b <= 1.0)
+                            else:
+                                inside = (a >= 0) & (a <= 1.0) \
+                                    & (b >= 0) & (b <= 1.0)
+                            h = inside & (t > eps) & (t < tmax_r[r][k])
+                            orow = own_row(name, k)
+                            if orow is not None:
+                                h = h & (ib != orow - s0)
+                            acc_hit(r, k, h)
+            elif kind == "disk":
+                Wn, Wp, cn, p02, r2c = consts
+                Dn = _mxu_dot(Wn, Ps)
+                Dp = _mxu_dot(Wp, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        num_h = cn[sb] - sl(Dn, j)[sb]
+                        num_n = sl(Dn, j, 1)[sb]
+                        q2_h = hp2[r] - 2.0 * sl(Dp, j)[sb] + p02[sb]
+                        qn = hpn[r] - sl(Dp, j, 1)[sb]
+                        for k in range(K):
+                            t = (num_h - se_r[r][k] * num_n) \
+                                / sl(Dn, j, 2 + k)[sb]
+                            qw = hpw[r][k] - sl(Dp, j, 2 + k)[sb]
+                            rel2 = q2_h + 2.0 * se_r[r][k] * qn \
+                                + se_r[r][k] * se_r[r][k] \
+                                + 2.0 * t * (qw + se_r[r][k] * nsw[r][k]) \
+                                + t * t
+                            h = (rel2 <= r2c[sb]) & (t > eps) \
+                                & (t < tmax_r[r][k])
+                            orow = own_row("disk", k)
+                            if orow is not None:
+                                h = h & (ib != orow - s0)
+                            acc_hit(r, k, h)
+            else:
+                Wc, rs_, c2 = consts
+                Dc = _mxu_dot(Wc, Ps)
+                for j, r in enumerate(rr):
+                    for s0 in range(0, S, SBLK):
+                        s1 = min(s0 + SBLK, S)
+                        sb = slice(s0, s1)
+                        ib = iota[0:s1 - s0]
+                        rb_ = rs_[sb]
+                        vc2 = c2[sb] - 2.0 * sl(Dc, j)[sb] + hp2[r]
+                        vcn = sl(Dc, j, 1)[sb] - hpn[r]
+                        for k in range(K):
+                            neg_b = (sl(Dc, j, 2 + k)[sb] - hpw[r][k]) \
+                                - se_r[r][k] * nsw[r][k]
+                            oc2 = vc2 - 2.0 * se_r[r][k] * vcn + off2
+                            discr = rb_ * rb_ - oc2 + neg_b * neg_b
+                            a_c = neg_b - eps
+                            b_c = neg_b - tmax_r[r][k]
+                            a2 = a_c * a_c
+                            b2 = b_c * b_c
+                            a_pos = a_c > 0.0
+                            b_neg = b_c < 0.0
+                            in1 = a_pos & (discr < a2) \
+                                & (b_neg | (discr > b2))
+                            in2 = (a_pos | (discr > a2)) & b_neg \
+                                & (discr < b2)
+                            h = (discr >= 0) & (rb_ > 0) & (in1 | in2)
+                            orow = own_row("sphere", k)
+                            if orow is not None:
+                                h = h & (ib != orow - s0)
+                            acc_hit(r, k, h)
+
+    return [jnp.concatenate([hits_r[r][k] for r in range(n_rows)],
+                            axis=0) > 0.0 for k in range(K)]
+
+
 def _bigres_layout(cfg: wf.KernelConfig, L: int, has_env: bool,
                    has_img: bool = False):
     """Plane order of the table kernel's coefficient cache (the residual
@@ -728,6 +1219,7 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
         own_geo = [own_of_light.get(i) for i in range(L)]
 
     use_cull = cfg.cull != "off"
+    use_mxu = _resolve_sweep(cfg, counts)
 
     def kernel(seed_ref, tri_ref, rect_ref, disk_ref, sph_ref,
                *rest_refs):
@@ -821,16 +1313,20 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             # every block and the 129 scalar tests are pure overhead —
             # measured net-negative), so cull only the primary sweep
             b_bounds = bounds if bounce == 0 else None
+            if use_mxu:
+                def closest(_, o=o, d=d):
+                    return _closest_hit_tables_mxu(refs, counts, o, d)
+            else:
+                def closest(_, o=o, d=d, b_bounds=b_bounds):
+                    return _closest_hit_tables(refs, counts, o, d,
+                                               bounds=b_bounds)
             if bounce == 0:
-                cy = _closest_hit_tables(refs, counts, o, d,
-                                         bounds=b_bounds)
+                cy = closest(None)
             else:
                 any_alive = jnp.max(jnp.where(alive, np.float32(1.0),
                                               np.float32(0.0))) > 0.0
                 cy = jax.lax.cond(
-                    any_alive,
-                    lambda _: _closest_hit_tables(refs, counts, o, d,
-                                                  bounds=b_bounds),
+                    any_alive, closest,
                     lambda _: _Carry.init(o.x.shape), None)
             (t, nx, ny, nz, difx, dify, difz, spcx, spcy, spcz,
              emix, emiy, emiz, kindf, expo, eta, sprob, dprob, lixf,
@@ -1012,7 +1508,17 @@ def _make_kernel(static, counts, cfg: wf.KernelConfig, hw_rng: bool,
             # are pure overhead (5.44 -> 4.79 M rays/s). Default "cone"
             # keeps the round-3 behavior: one merged sweep, culled at the
             # primary bounce only.
-            if cfg.cull == "cone+nee":
+            if use_mxu:
+                def occ_sweep(_):
+                    hs = _any_hit_tables_mxu(
+                        refs, counts, hp, nrm,
+                        [(smp[0], smp[3] - km.SHADOW_EPSILON)
+                         for smp in smps],
+                        robust=(cfg.shadow == "robust"), own=own_geo,
+                        nd=nds)
+                    return tuple(jnp.where(h, np.int32(1), np.int32(0))
+                                 for h in hs)
+            elif cfg.cull == "cone+nee":
                 compact_i = [i for i, lt in enumerate(lights)
                              if lt["kind"] not in (klights.ENV,
                                                    klights.DIRECTION)]

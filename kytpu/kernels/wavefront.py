@@ -100,6 +100,22 @@ class KernelConfig:
     # bounding sphere cannot meet the cone — exact-conservative, so
     # renders are bitwise identical to "off". The baked kernel ignores it.
     cull: str = "cone"          # "cone" | "cone+nee" | "off"
+    # Table-kernel geometry sweep engine. "mxu": per-surface-constant dot
+    # products run as (S,3)@(3,128) matmuls on the (otherwise idle) MXU
+    # per lane-row, the root/inside epilogue runs in (S,128) sublane-major
+    # layout, and the winner's material/geometry columns are gathered with
+    # ONE one-hot matmul instead of per-row select carries — measured
+    # 4-8x the scalar-broadcast sweep at every scale (benchmarks/
+    # mxu_probe.py: sweep 92->22 ms, resolve 81->4 ms per 1M lanes at
+    # S=1024 with f32 HIGHEST-precision passes). Results agree with
+    # "scalar" up to the matmul's last-ulp rounding (winner flips on
+    # ~1e-4 of grazing ties; the winner's t/normal are recomputed in the
+    # stable perp-decomposition form, so the round-2 NaN class cannot
+    # recur). "scalar": the fori_loop scalar-broadcast sweep, bitwise
+    # stable vs the baked kernel. "auto": mxu past 64 surfaces (where no
+    # baked-kernel bitwise parity is asserted), scalar below. The mxu
+    # sweep ignores the block cone culls (a single matmul has no blocks).
+    sweep: str = "auto"         # "auto" | "mxu" | "scalar"
 
 
 # ---------------------------------------------------------------------------

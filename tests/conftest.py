@@ -56,18 +56,11 @@ def pytest_collection_modifyitems(config, items):
                 item.add_marker(mark)
 
 
-import pytest  # noqa: E402
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Drop compiled executables after each test module.
-
-    The full suite compiles hundreds of large CPU programs (interpret-mode
-    megakernels, gradient graphs) in one process; past ~half the suite the
-    XLA CPU backend aborts/segfaults inside backend_compile_and_load —
-    compiler-level resource exhaustion, not a test failure. Releasing the
-    executable cache between modules keeps the JIT arenas bounded; tests
-    only pay a recompile when they share shapes across modules (rare)."""
-    yield
-    jax.clear_caches()
+# HISTORY: through round 4 an autouse module-scope jax.clear_caches()
+# fixture lived here because the XLA CPU backend aborted inside
+# backend_compile_and_load past ~half the suite (compiler-level resource
+# exhaustion). Re-tested 2026-08-21 on jax 0.9.0: the single-worker
+# default tier passes WITHOUT it (153 passed in 8:22), so the workaround
+# is retired. If the abort returns on a jaxlib upgrade, reinstate:
+#   @pytest.fixture(autouse=True, scope="module")
+#   def _clear(): yield; jax.clear_caches()
