@@ -140,6 +140,27 @@ def make_train_step(scene, target, spp: int = 4,
         # run when hw_rng is off)
         interp = False if on_tpu else (
             "generic" if mesh is not None else True)
+        env0 = (scene.env_radiance_ if scene.has_env
+                else jnp.zeros(3, jnp.float32))
+        has_tex = bool(scene.has_textures)
+        has_img = False
+        if has_tex:
+            import numpy as np
+            from kytpu.scene import texture as ktex_mod
+            tid = np.asarray(scene.tex_id)
+            kinds = np.asarray(scene.textures.kind)
+            has_img = any(int(kinds[int(t)]) == ktex_mod.IMAGE
+                          for t in tid if int(t) >= 0)
+        if has_img and kcfg.bwd_rows == 0:
+            import dataclasses
+            th_i, tw_i = scene.textures.image.shape[1:3]
+            if (th_i * tw_i > kwf._KERNEL_MAX_TEXELS
+                    or (th_i & (th_i - 1)) or (tw_i & (tw_i - 1))):
+                # separable-fetch atlases: the residual backward carries a
+                # (3*th, tw) adjoint accumulator — halve its tile so the
+                # kernel fits scoped VMEM at 256^2 (measured: rows=16
+                # overflows by 1.2 MB, rows=8 fits)
+                kcfg = dataclasses.replace(kcfg, bwd_rows=8)
         # scene-scale routing (same rule as integrator.render): past ~64
         # surfaces the baked kernel's compile is O(N) — train through the
         # table kernel's residual backward instead when eligible
@@ -159,18 +180,6 @@ def make_train_step(scene, target, spp: int = 4,
         npix = w * h
         cam = scene.camera
         use_lds = kcfg.sampler in ("hash", "sobol")
-
-        env0 = (scene.env_radiance_ if scene.has_env
-                else jnp.zeros(3, jnp.float32))
-        has_tex = bool(scene.has_textures)
-        has_img = False
-        if has_tex:
-            import numpy as np
-            from kytpu.scene import texture as ktex_mod
-            tid = np.asarray(scene.tex_id)
-            kinds = np.asarray(scene.textures.kind)
-            has_img = any(int(kinds[int(t)]) == ktex_mod.IMAGE
-                          for t in tid if int(t) >= 0)
 
         def _tracer_params(params):
             exp_arg = ((params["mat_exponent"],) if train_exp else ())

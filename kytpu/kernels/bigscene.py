@@ -148,6 +148,11 @@ def extract_tables(scene):
         if err:
             raise NotImplementedError(err)
     static = wf.extract_static(scene)
+    if any(r.get("sep") for r in static.get("textures", [])):
+        raise NotImplementedError(
+            "the table kernel's in-kernel image fetch is the select chain "
+            f"(<= {wf._KERNEL_MAX_TEXELS} pow2 texels); larger / non-pow2 "
+            "atlases run on the baked kernel or the jnp engines")
     tris, rects, disks = [], [], []
     tri_rows, rect_rows, disk_rows = [], [], []
     tri_b, rect_b, disk_b = [], [], []   # per-entry (center, radius)

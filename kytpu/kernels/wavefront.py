@@ -296,15 +296,23 @@ def extract_static(scene):
                           else "checker"),
                     scale=(float(tscale[ti, 0]), float(tscale[ti, 1])))
                 if rec["kind"] == "image":
+                    # "sep": the separable (matmul) fetch path — used past
+                    # the select-chain texel cap or for non-pow2 dims
+                    sep = (int(th) * int(tw) > _KERNEL_MAX_TEXELS
+                           or (int(th) & (int(th) - 1)) != 0
+                           or (int(tw) & (int(tw) - 1)) != 0)
                     rec.update(img=int(timg_idx[ti]), tw=int(tw),
-                               th=int(th))
+                               th=int(th), sep=sep)
                 textures.append(rec)
 
+    n_images = (int(scene.textures.image.shape[0])
+                if getattr(scene, "has_textures", False)
+                and any(r.get("kind") == "image" for r in textures) else 0)
     return dict(planar=planar, spheres=spheres, mats=mats, lights=lights,
                 world_radius=float(np.asarray(scene.world_radius)),
                 has_env=scene.has_env, textures=textures,
                 n_textures=n_textures, n_texels=n_texels,
-                occl_skip=occl_skip)
+                n_images=n_images, occl_skip=occl_skip)
 
 
 def _occl_skip_rows(planar, spheres, mats, lights):
@@ -1039,14 +1047,120 @@ def _image_color(rec, texel_w, timg_ref) -> V3:
     return V3(cx, cy, cz)
 
 
+_PRECH = jax.lax.Precision.HIGHEST
+
+
+def _image_sep_axes(rec, x, y):
+    """Per-lane bilinear AXIS indices/weights for the separable fetch
+    (wrap without power-of-two masks: x in [-0.5, dim-0.5) => floor in
+    [-1, dim-1]). Returns (xi0, xi1, fx, yi0, yi1, fy) planes."""
+    tw, th = rec["tw"], rec["th"]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    xi0 = jnp.where(xi0 < 0, np.int32(tw - 1), xi0)
+    yi0 = jnp.where(yi0 < 0, np.int32(th - 1), yi0)
+    xi1 = xi0 + 1
+    xi1 = jnp.where(xi1 >= tw, np.int32(0), xi1)
+    yi1 = yi0 + 1
+    yi1 = jnp.where(yi1 >= th, np.int32(0), yi1)
+    return xi0, xi1, fx, yi0, yi1, fy
+
+
+def _sep_axis_weights(n, i0, i1, f, r):
+    """(n, 128) axis-weight matrix for lane-row r of the index/weight
+    planes: w[i, l] = (1-f[l])*(i == i0[l]) + f[l]*(i == i1[l])."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 0)
+    i0r = i0[r:r + 1, :]
+    i1r = i1[r:r + 1, :]
+    fr = f[r:r + 1, :]
+    return jnp.where(iota == i0r, 1.0 - fr, np.float32(0.0)) \
+        + jnp.where(iota == i1r, fr, np.float32(0.0))
+
+
+def _image_sep_color(rec, axes, timg_ref) -> V3:
+    """SEPARABLE bilinear fetch: value_c = sum_y wy[y] sum_x wx[x] *
+    img[y,x,c]. The x-contraction is one (3*th, tw)@(tw, 128) MXU matmul
+    per lane-row against per-lane axis weights; the y-contraction is an
+    elementwise multiply + sublane sum. Cost is O(atlas * lanes) through
+    the MXU — the TPU-native arbitrary-size texture gather (the VPU
+    select chain is O(texels) VECTOR ops per lane and caps at
+    {_KERNEL_MAX_TEXELS}). timg_ref layout: row (img*3 + c)*th + y,
+    col x (see _sep_layout)."""
+    tw, th = rec["tw"], rec["th"]
+    xi0, xi1, fx, yi0, yi1, fy = axes
+    n_rows = fx.shape[0]
+    base = rec["img"] * 3 * th
+    A = timg_ref[base:base + 3 * th, :]            # (3*th, tw)
+    outs = [[], [], []]
+    for r in range(n_rows):
+        wx = _sep_axis_weights(tw, xi0, xi1, fx, r)     # (tw, 128)
+        wy = _sep_axis_weights(th, yi0, yi1, fy, r)     # (th, 128)
+        tmp = jax.lax.dot_general(
+            A, wx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECH)
+        for c in range(3):
+            outs[c].append(jnp.sum(tmp[c * th:(c + 1) * th] * wy,
+                                   axis=0, keepdims=True))
+    return V3(*[jnp.concatenate(o, axis=0) for o in outs])
+
+
+def _image_sep_scatter(rec, axes, adj: V3, onrow, acc):
+    """Adjoint of _image_sep_color: d_img[(c,y), x] += sum_lanes
+    wy[y,l] * adj_c[l] * wx[x,l] — one (3*th,128)x(tw,128) lane-contracted
+    matmul per lane-row, accumulated into this image's (3*th, tw) block
+    of `acc` (the separable-layout gradient accumulator)."""
+    tw, th = rec["tw"], rec["th"]
+    xi0, xi1, fx, yi0, yi1, fy = axes
+    n_rows = fx.shape[0]
+    ax = jnp.where(onrow, adj.x, np.float32(0.0))
+    ay = jnp.where(onrow, adj.y, np.float32(0.0))
+    az = jnp.where(onrow, adj.z, np.float32(0.0))
+    upd = None
+    for r in range(n_rows):
+        wx = _sep_axis_weights(tw, xi0, xi1, fx, r)
+        wy = _sep_axis_weights(th, yi0, yi1, fy, r)
+        lhs = jnp.concatenate([wy * ax[r:r + 1, :], wy * ay[r:r + 1, :],
+                               wy * az[r:r + 1, :]], axis=0)  # (3*th,128)
+        u = jax.lax.dot_general(
+            lhs, wx, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECH)
+        upd = u if upd is None else upd + u
+    acc[rec["img"]] = acc[rec["img"]] + upd
+    return acc
+
+
+def _sep_layout(timg):
+    """(ti_n, th, tw, 3) atlas -> the separable kernel layout
+    (ti_n*3*th, tw): row (img*3 + c)*th + y, col x."""
+    ti_n, th, tw, _ = timg.shape
+    return timg.transpose(0, 3, 1, 2).reshape(ti_n * 3 * th, tw)
+
+
+def _sep_unlayout(d, img_shape):
+    """Inverse of _sep_layout for the gradient accumulator."""
+    ti_n, th, tw, _ = img_shape
+    return d.reshape(ti_n, 3, th, tw).transpose(0, 2, 3, 1)
+
+
 def _apply_textures(static, texa_ref, texb_ref, timg_ref, sid, hp: V3,
-                    diffuse: V3, parities=None, texel_ws=None) -> V3:
+                    diffuse: V3, parities=None, texel_ws=None,
+                    tex_axes=None) -> V3:
     """Replace the diffuse color on textured surface rows, masked by sid.
     `parities`: precomputed checker even-masks; `texel_ws`: precomputed
-    per-texel bilinear weights for image rows (both lists aligned with
+    per-texel bilinear weights for image rows; `tex_axes`: precomputed
+    separable axis tuples for sep image rows (lists aligned with
     static["textures"]; None entries recomputed here)."""
     for i, rec in enumerate(static["textures"]):
-        if rec.get("kind") == "image":
+        if rec.get("kind") == "image" and rec.get("sep"):
+            axes = tex_axes[i] if tex_axes is not None else None
+            if axes is None:
+                axes = _image_sep_axes(rec, *_image_uv_xy(static, rec, hp))
+            col = _image_sep_color(rec, axes, timg_ref)
+        elif rec.get("kind") == "image":
             tws = texel_ws[i] if texel_ws is not None else None
             if tws is None:
                 tws = _image_texel_weights(rec,
@@ -1670,6 +1784,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
     n_tex = static.get("n_textures", 0) if tex_recs else 0
     img_recs = [r for r in tex_recs if r.get("kind") == "image"]
     n_texels = static.get("n_texels", 0) if img_recs else 0
+    use_sep = any(r.get("sep") for r in img_recs)
+    n_images = static.get("n_images", 0) if img_recs else 0
     world_radius = static["world_radius"]
     lobes = mats["lobes"]
     eval_lobes = lobes & {kbsdf.LAMBERT, kbsdf.PHONG}
@@ -1800,7 +1916,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 acc_ta = [v3_zeros(o.x) for _ in range(n_tex)]
                 acc_tb = [v3_zeros(o.x) for _ in range(n_tex)]
             if img_recs:
-                acc_ti = [v3_zeros(o.x) for _ in range(n_texels)]
+                if use_sep:
+                    th_i = img_recs[0]["th"]
+                    tw_i = img_recs[0]["tw"]
+                    acc_ti_sep = [jnp.zeros((3 * th_i, tw_i), jnp.float32)
+                                  for _ in range(n_images)]
+                else:
+                    acc_ti = [v3_zeros(o.x) for _ in range(n_texels)]
 
             def row_add(acc, rows, sid, val: V3):
                 for m in rows:
@@ -1914,12 +2036,16 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 tex_xy = [_image_uv_xy(static, rec, hp)
                           if rec.get("kind") == "image" else None
                           for rec in tex_recs]
-                tex_ws = [None if xy is None else _image_texel_weights(
+                tex_ws = [None if (xy is None or rec.get("sep"))
+                          else _image_texel_weights(
                               rec, *_image_taps_from_xy(rec, *xy))
                           for rec, xy in zip(tex_recs, tex_xy)]
+                tex_axes = [_image_sep_axes(rec, *xy) if (xy is not None
+                            and rec.get("sep")) else None
+                            for rec, xy in zip(tex_recs, tex_xy)]
                 diffuse = _apply_textures(static, texa_ref, texb_ref,
                                           timg_ref, sid, hp, diffuse,
-                                          tex_par, tex_ws)
+                                          tex_par, tex_ws, tex_axes)
             specular = _select_table3(sid, specular_ref, rows_s)
             mk = jnp.zeros(shp, jnp.int32)
             for m in range(M):
@@ -2356,7 +2482,13 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 if tex_recs:
                     for ti, rec in enumerate(tex_recs):
                         onrow = sid == rec["row"]
-                        if rec.get("kind") == "image":
+                        if rec.get("kind") == "image" and rec.get("sep"):
+                            # separable adjoint: matmul-scatter into the
+                            # image's (3*th, tw) accumulator block
+                            acc_ti_sep = _image_sep_scatter(
+                                rec, tex_axes[ti], addc_diff, onrow,
+                                acc_ti_sep)
+                        elif rec.get("kind") == "image":
                             # bilinear is linear in the texels: route the
                             # diffuse-value adjoint to each texel by its
                             # (replayed) tap weight
@@ -2416,7 +2548,8 @@ def _make_kernel(static, cfg: KernelConfig, hw_rng: bool = True,
                 arr_ta = stack_acc(acc_ta)
                 arr_tb = stack_acc(acc_tb)
             if img_recs:
-                arr_ti = stack_acc(acc_ti)
+                arr_ti = (jnp.concatenate(acc_ti_sep, axis=0) if use_sep
+                          else stack_acc(acc_ti))
 
             @pl.when(pid == 0)
             def _():
@@ -2486,6 +2619,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
     n_tex = static.get("n_textures", 0) if tex_recs else 0
     img_recs = [r for r in tex_recs if r.get("kind") == "image"]
     n_texels = static.get("n_texels", 0) if img_recs else 0
+    use_sep = any(r.get("sep") for r in img_recs)
+    n_images = static.get("n_images", 0) if img_recs else 0
     res_ix, _ = _residual_layout(static, cfg)
 
     def kernel(*refs):
@@ -2517,7 +2652,13 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             acc_ta = [v3_zeros(g.x) for _ in range(n_tex)]
             acc_tb = [v3_zeros(g.x) for _ in range(n_tex)]
         if img_recs:
-            acc_ti = [v3_zeros(g.x) for _ in range(n_texels)]
+            if use_sep:
+                th_i = img_recs[0]["th"]
+                tw_i = img_recs[0]["tw"]
+                acc_ti_sep = [jnp.zeros((3 * th_i, tw_i), jnp.float32)
+                              for _ in range(n_images)]
+            else:
+                acc_ti = [v3_zeros(g.x) for _ in range(n_texels)]
 
         def row_add(acc, rows, sid, val: V3):
             for m in rows:
@@ -2558,8 +2699,13 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                     tx_pl = resf_ref[res_ix[("tx", bounce)]]
                     ty_pl = resf_ref[res_ix[("ty", bounce)]]
                 tex_ws_b = {}
+                tex_axes_b = {}
                 for rec in tex_recs:
-                    if rec.get("kind") == "image":
+                    if rec.get("kind") == "image" and rec.get("sep"):
+                        axes = _image_sep_axes(rec, tx_pl, ty_pl)
+                        tex_axes_b[rec["row"]] = axes
+                        col = _image_sep_color(rec, axes, timg_ref)
+                    elif rec.get("kind") == "image":
                         ws = _image_texel_weights(
                             rec, *_image_taps_from_xy(rec, tx_pl, ty_pl))
                         tex_ws_b[rec["row"]] = ws
@@ -2669,7 +2815,11 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
                 # the rebuilt bilinear weights), zero the table share
                 for rec in tex_recs:
                     onrow = sid == rec["row"]
-                    if rec.get("kind") == "image":
+                    if rec.get("kind") == "image" and rec.get("sep"):
+                        acc_ti_sep = _image_sep_scatter(
+                            rec, tex_axes_b[rec["row"]], addc_diff, onrow,
+                            acc_ti_sep)
+                    elif rec.get("kind") == "image":
                         base = rec["img"] * rec["th"] * rec["tw"]
                         for k, wk in enumerate(tex_ws_b[rec["row"]]):
                             wk = jnp.where(onrow, wk, 0.0)
@@ -2715,7 +2865,8 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
             arr_ta = stack_acc(acc_ta)
             arr_tb = stack_acc(acc_tb)
         if img_recs:
-            arr_ti = stack_acc(acc_ti)
+            arr_ti = (jnp.concatenate(acc_ti_sep, axis=0) if use_sep
+                      else stack_acc(acc_ti))
 
         @pl.when(pid == 0)
         def _():
@@ -2753,16 +2904,19 @@ def _make_bwd_res_kernel(static, cfg: KernelConfig):
 # ---------------------------------------------------------------------------
 
 
-_KERNEL_MAX_TEXELS = 64
+_KERNEL_MAX_TEXELS = 64          # select-chain fetch cap (pow2 only)
+_KERNEL_SEP_MAX_TEXELS = 256 * 256   # separable matmul fetch cap
 
 
 def _kernel_texture_support(scene):
     """None if the megakernel can evaluate this scene's textures in-kernel
-    (checker, or small power-of-two image atlases, on planar surfaces),
-    else a reason string. Sphere UVs and large/odd-sized images need the
-    jnp engines (the in-kernel image fetch is an O(texels) select chain —
-    the TPU-native 'gather' for small atlases — so it is capped at
-    {_KERNEL_MAX_TEXELS} texels per image)."""
+    (checker, or image atlases up to {_KERNEL_SEP_MAX_TEXELS} texels, on
+    planar surfaces), else a reason string. Small power-of-two atlases
+    (<= {_KERNEL_MAX_TEXELS} texels) use the O(texels) select-chain
+    fetch; larger or non-pow2 atlases use the separable matmul fetch
+    (_image_sep_color — two MXU contractions per lane-row, cost
+    O(atlas * lanes) through the MXU, practical to 256x256). Sphere UVs
+    still need the jnp engines."""
     if not getattr(scene, "has_textures", False):
         return None
     from kytpu.scene import texture as ktex_mod
@@ -2775,15 +2929,12 @@ def _kernel_texture_support(scene):
             continue
         if int(kinds[ti]) == ktex_mod.IMAGE:
             th, tw = scene.textures.image.shape[1:3]
-            if th * tw > _KERNEL_MAX_TEXELS:
-                return (f"the megakernel's in-kernel image fetch is a "
-                        f"select chain capped at {_KERNEL_MAX_TEXELS} "
-                        f"texels ({th}x{tw} given) — render larger images "
-                        f"with the jnp engines")
-            if (th & (th - 1)) or (tw & (tw - 1)):
-                return ("the megakernel wraps image uvs with power-of-two "
-                        "masks — non-power-of-two images need the jnp "
-                        "engines")
+            if th * tw > _KERNEL_SEP_MAX_TEXELS:
+                return (f"the megakernel's separable image fetch is "
+                        f"O(atlas) MXU work per lane and capped at "
+                        f"{_KERNEL_SEP_MAX_TEXELS} texels ({th}x{tw} "
+                        f"given) — render larger images with the jnp "
+                        f"engines")
         if m >= n_planar:
             return ("the megakernel evaluates textures on planar surfaces "
                     "only — sphere UV textures need the jnp engines")
@@ -2868,6 +3019,7 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
     has_tex = bool(static["textures"])
     has_img = any(r.get("kind") == "image" for r in static["textures"])
     n_texels = static.get("n_texels", 0)
+    use_sep = any(r.get("sep") for r in static["textures"])
     use_sobol = cfg.sampler in ("sobol", "hash")  # kernel takes si/pix planes
     use_texp = cfg.trainable_exponent
 
@@ -2906,7 +3058,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
         tex_in = ([scene.textures.color_a, scene.textures.color_b]
                   if has_tex else [])
         if has_img:
-            tex_in.append(scene.textures.image.reshape(-1, 3))
+            tex_in.append(_sep_layout(scene.textures.image) if use_sep
+                          else scene.textures.image.reshape(-1, 3))
         t_rows = scene.textures.n_textures if has_tex else 0
         out = pl.pallas_call(
             kernel,
@@ -2920,7 +3073,8 @@ def make_pallas_tracer(scene, cfg: KernelConfig | None = None,
                                memory_space=pltpu.SMEM)]
                  if use_texp else [])
             + ([smem((t_rows, 3)), smem((t_rows, 3))] if has_tex else [])
-            + ([smem((n_texels, 3))] if has_img else []) + [
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if use_sep
+               else [smem((n_texels, 3))] if has_img else []) + [
                 smem((max(n_lights, 1), 3)),                # light emit
                 smem((1, 3)),                               # env radiance
                 blk, blk, blk, blk, blk, blk,
@@ -3046,7 +3200,11 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     t_rows = static["n_textures"] if has_tex else 0
     has_img = any(r.get("kind") == "image" for r in static["textures"])
     n_texels = static["n_texels"] if has_img else 0
+    use_sep = any(r.get("sep") for r in static["textures"])
     img_shape = tuple(scene.textures.image.shape) if has_img else (0, 3)
+    sep_rows = img_shape[0] * 3 * img_shape[1] if (has_img and use_sep) \
+        else 0
+    sep_cols = img_shape[2] if (has_img and use_sep) else 0
     light_rows = [int(v) for v in np.asarray(scene.lights.surface_ids)] \
         if n_lights else []
     env_row = next((i for i, k in enumerate(scene.lights.kinds)
@@ -3111,8 +3269,12 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         inputs = [texa, texb]
         specs = [smem_t((t_rows, 3)), smem_t((t_rows, 3))]
         if has_img:
-            inputs.append(timg.reshape(-1, 3))
-            specs.append(smem_t((n_texels, 3)))
+            if use_sep:
+                inputs.append(_sep_layout(timg))
+                specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            else:
+                inputs.append(timg.reshape(-1, 3))
+                specs.append(smem_t((n_texels, 3)))
         return inputs, specs
 
     def _fwd_impl(diffuse, specular, emission, exponent, texa, texb, timg,
@@ -3146,6 +3308,13 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
     def _acc_blk(nplanes, dtype=jnp.float32):
         return pl.BlockSpec((nplanes, cfg.rows, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    def _sep_acc_blk():
+        return pl.BlockSpec((sep_rows, sep_cols), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _sep_acc_shape():
+        return jax.ShapeDtypeStruct((sep_rows, sep_cols), jnp.float32)
 
     def _acc_shape(nplanes, dtype=jnp.float32):
         return jax.ShapeDtypeStruct((nplanes, cfg.rows, LANE), dtype)
@@ -3214,11 +3383,13 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
         acc_extra_specs = ([_acc_blk(m_rows)] if use_texp else []) \
             + ([_acc_blk(3 * t_rows), _acc_blk(3 * t_rows)]
                if has_tex else []) \
-            + ([_acc_blk(3 * n_texels)] if has_img else [])
+            + ([_sep_acc_blk()] if use_sep
+               else [_acc_blk(3 * n_texels)] if has_img else [])
         acc_extra_shapes = ([_acc_shape(m_rows)] if use_texp else []) \
             + ([_acc_shape(3 * t_rows), _acc_shape(3 * t_rows)]
                if has_tex else []) \
-            + ([_acc_shape(3 * n_texels)] if has_img else [])
+            + ([_sep_acc_shape()] if use_sep
+               else [_acc_shape(3 * n_texels)] if has_img else [])
 
         def _unpack(outs):
             nonlocal dexp, dta, dtb, dti
@@ -3231,7 +3402,10 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
                 dta = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
                 dtb = outs.pop(0).sum(axis=(1, 2)).reshape(t_rows, 3)
             if has_img:
-                dti = outs.pop(0).sum(axis=(1, 2)).reshape(img_shape)
+                if use_sep:
+                    dti = _sep_unlayout(outs.pop(0), img_shape)
+                else:
+                    dti = outs.pop(0).sum(axis=(1, 2)).reshape(img_shape)
             return dd, ds, de, denv
 
         if backward == "residual":
@@ -3260,12 +3434,14 @@ def make_pallas_diff_tracer(scene, cfg: KernelConfig | None = None,
             bacc_extra_specs = ([bacc_blk(m_rows)] if use_texp else []) \
                 + ([bacc_blk(3 * t_rows), bacc_blk(3 * t_rows)]
                    if has_tex else []) \
-                + ([bacc_blk(3 * n_texels)] if has_img else [])
+                + ([_sep_acc_blk()] if use_sep
+                   else [bacc_blk(3 * n_texels)] if has_img else [])
             bacc_extra_shapes = ([bacc_shape(m_rows)] if use_texp
                                  else []) \
                 + ([bacc_shape(3 * t_rows), bacc_shape(3 * t_rows)]
                    if has_tex else []) \
-                + ([bacc_shape(3 * n_texels)] if has_img else [])
+                + ([_sep_acc_shape()] if use_sep
+                   else [bacc_shape(3 * n_texels)] if has_img else [])
             outs = pl.pallas_call(
                 bwd_res_kernel, grid=(bgrid,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),

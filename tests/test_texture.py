@@ -358,18 +358,100 @@ def test_megakernel_image_matches_fast():
 
 def test_megakernel_rejects_unsupported_textures():
     from kytpu.kernels import wavefront as kwf
-    # oversized image atlases: jnp engines only (select-chain cap)
-    img_big = np.full((16, 16, 3), 0.5, np.float32)
+    # beyond the separable-fetch cap (256x256): jnp engines only
+    img_big = np.full((512, 512, 3), 0.5, np.float32)
     sc_big = builders.cornell_box(width=16, height=16, back_image=img_big)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_tracer(sc_big, interpret=True)
     with pytest.raises(NotImplementedError):
         kwf.make_pallas_diff_tracer(sc_big, interpret=True)
-    # non-power-of-two dims: wrap needs pow2 masks
-    img_odd = np.full((6, 6, 3), 0.5, np.float32)
-    sc_odd = builders.cornell_box(width=16, height=16, back_image=img_odd)
-    with pytest.raises(NotImplementedError):
-        kwf.make_pallas_tracer(sc_odd, interpret=True)
+
+
+def test_megakernel_separable_image_matches_fast():
+    """Atlases past the 64-texel select-chain cap (and non-pow2 dims) use
+    the SEPARABLE matmul fetch (wavefront._image_sep_color): two MXU
+    contractions per lane-row instead of an O(texels) select chain.
+    Statistical agreement with the jnp fast engine's bilinear on a
+    non-power-of-two 24x24 atlas (round-4 VERDICT item 4: the cap lift)."""
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.integrator.fast import FastConfig
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.1, 0.9, (24, 24, 3)).astype(np.float32)
+    scene = builders.cornell_box(width=48, height=48, back_image=img)
+    # the sep flag must be set for this atlas
+    static = kwf.extract_static(scene)
+    assert any(r.get("sep") for r in static["textures"])
+    img_k = np.asarray(kwf.render_pallas(
+        scene, spp=32, seed=3, cfg=kwf.KernelConfig(max_depth=3, rows=8),
+        interpret=True))
+    img_f = np.asarray(render(scene, spp=32, seed=5,
+                              cfg=FastConfig(max_depth=3), mode="fast"))
+
+    def down(x, f=8):
+        h, w, _ = x.shape
+        return x.reshape(h // f, f, w // f, f, 3).mean((1, 3))
+
+    err = np.abs(down(img_k) - down(img_f)).mean()
+    assert err < 0.03, err
+
+
+@pytest.mark.parametrize("backward", ["replay", "residual"])
+@pytest.mark.slow
+def test_megakernel_separable_image_gradients_match_fd(backward):
+    """Per-texel adjoints through the SEPARABLE fetch path, both
+    backwards: the adjoint is a lane-contracted matmul scatter
+    (wavefront._image_sep_scatter) into the (3*th, tw) accumulator.
+    AD == central FD of the same deterministic kernel forward."""
+    from kytpu.kernels import wavefront as kwf
+    from kytpu.scene import scene as kscene
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)  # 256 > 64
+    scene = builders.cornell_box(width=8, height=8, back_image=img)
+    static = kwf.extract_static(scene)
+    assert any(r.get("sep") for r in static["textures"])
+    cfg = kwf.KernelConfig(max_depth=3, rows=8)
+    tracer = kwf.make_pallas_diff_tracer(scene, cfg, interpret=True,
+                                         backward=backward)
+    n = 64
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 8).astype(jnp.float32) + u[:, 0]
+    py = (pid // 8).astype(jnp.float32) + u[:, 1]
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(5)
+    env0 = jnp.zeros(3, jnp.float32)
+    texa, texb = scene.textures.color_a, scene.textures.color_b
+    timg0 = scene.textures.image
+
+    def loss(timg):
+        out = tracer(scene.mat_diffuse, scene.mat_specular, scene.emission,
+                     texa, texb, timg, env0, o, d, seed)
+        return jnp.mean(out)
+
+    g = np.asarray(jax.grad(loss)(timg0))
+    assert g.shape == timg0.shape
+    gsum = float(g.sum())
+    assert np.isfinite(g).all() and gsum > 0
+    eps = 1e-2
+    fd = (float(loss(timg0 + eps)) - float(loss(timg0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(fd, gsum, rtol=5e-3, atol=1e-6)
+    for flat in np.argsort(-g.reshape(-1))[:3]:
+        idx = np.unravel_index(int(flat), g.shape)
+        fd = (float(loss(timg0.at[idx].add(eps)))
+              - float(loss(timg0.at[idx].add(-eps)))) / (2 * eps)
+        ad = float(g[idx])
+        assert abs(ad - fd) <= 3e-3 * max(abs(fd), 1e-2), (idx, ad, fd)
+
+    # the image row's diffuse-table gradient must be zero (value unused)
+    def loss_d(diffuse):
+        out = tracer(diffuse, scene.mat_specular, scene.emission,
+                     texa, texb, timg0, env0, o, d, seed)
+        return jnp.mean(out)
+
+    gd = np.asarray(jax.grad(loss_d)(scene.mat_diffuse))
+    img_row = int(np.argmax(np.asarray(scene.tex_id) >= 0))
+    np.testing.assert_allclose(gd[img_row], 0.0, atol=1e-8)
 
 
 @pytest.mark.parametrize("backward", ["replay", "residual"])
