@@ -184,9 +184,12 @@ def test_sharded_pallas_train_step(scene):
                                    atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_train_step_mesh_invariant(scene):
     """The sharded pallas step's loss is invariant across mesh shapes
-    (hash sampler: every draw keyed by (key, pixel, sample, site))."""
+    (hash sampler: every draw keyed by (key, pixel, sample, site)).
+    Slow tier: the default tier's equality test + dryrun_multichip already
+    certify the capability; this adds the cross-shape comparison."""
     key = jax.random.key(14)
     target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=CFG))
     wrong = set_params(scene, {
