@@ -129,6 +129,46 @@ def test_bigscene_matches_baked_same_draws():
     assert np.abs(lb - lk).max() < 1e-3, np.abs(lb - lk).max()
 
 
+def test_bigscene_mxu_sweep_matches_scalar():
+    """Pins the round-5 CPU parity measurement: the MXU matmul-form sweeps
+    (sweep="mxu", the default past 64 surfaces) must agree with the scalar
+    fori_loop sweeps to ~1 ulp on renders, and the residual backward's
+    gradients must match (the backward is sweep-free cache algebra, so any
+    gradient drift means the forward's winner resolve diverged)."""
+    scene = builders.random_spheres(n=16, width=12, height=12, seed=2)
+    n = 144
+    pid = jnp.arange(n, dtype=jnp.int32)
+    px = (pid % 12).astype(jnp.float32) + 0.5
+    py = (pid // 12).astype(jnp.float32) + 0.5
+    o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
+    seed = jnp.int32(11)
+    out = {}
+    for sweep in ("scalar", "mxu"):
+        cfg = wf.KernelConfig(max_depth=2, rows=8, sweep=sweep)
+        tr = bs.make_bigscene_tracer(scene, cfg, interpret=True)
+        out[sweep] = np.asarray(tr(scene, o, d, seed))
+    assert np.isfinite(out["mxu"]).all()
+    # identical draws; winners may flip only on exact grazing ties
+    agree = np.all(np.abs(out["mxu"] - out["scalar"]) < 1e-5, axis=-1)
+    assert agree.mean() > 0.99, agree.mean()
+
+    env0 = jnp.asarray(scene.env_radiance_)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
+    grads = {}
+    for sweep in ("scalar", "mxu"):
+        cfg = wf.KernelConfig(max_depth=2, rows=8, sweep=sweep)
+        dtr = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+
+        def loss(diffuse, specular, emission, env):
+            return jnp.mean(dtr(diffuse, specular, emission, env, o, d,
+                                seed))
+
+        grads[sweep] = jax.grad(loss, argnums=(0, 1, 2, 3))(*p0)
+    for gm, gs in zip(grads["mxu"], grads["scalar"]):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_bigscene_render_matches_fast():
     """Statistical: interpret-mode table kernel vs the fast integrator."""
