@@ -142,28 +142,26 @@ def test_bigscene_mxu_sweep_matches_scalar():
     py = (pid // 12).astype(jnp.float32) + 0.5
     o, d = kscene.generate_rays(scene.camera, jnp.stack([px, py], -1))
     seed = jnp.int32(11)
-    out = {}
+    env0 = jnp.asarray(scene.env_radiance_)
+    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
+    out, grads = {}, {}
     for sweep in ("scalar", "mxu"):
-        cfg = wf.KernelConfig(max_depth=2, rows=8, sweep=sweep)
-        tr = bs.make_bigscene_tracer(scene, cfg, interpret=True)
-        out[sweep] = np.asarray(tr(scene, o, d, seed))
+        # depth 1 still sweeps secondary (hemispherical) rays: the kernel
+        # runs bounces 0..max_depth inclusive
+        cfg = wf.KernelConfig(max_depth=1, rows=8, sweep=sweep)
+        dtr = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
+
+        def loss(diffuse, specular, emission, env):
+            rad = dtr(diffuse, specular, emission, env, o, d, seed)
+            return jnp.mean(rad), rad
+
+        (_, rad), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(*p0)
+        out[sweep], grads[sweep] = np.asarray(rad), g
     assert np.isfinite(out["mxu"]).all()
     # identical draws; winners may flip only on exact grazing ties
     agree = np.all(np.abs(out["mxu"] - out["scalar"]) < 1e-5, axis=-1)
     assert agree.mean() > 0.99, agree.mean()
-
-    env0 = jnp.asarray(scene.env_radiance_)
-    p0 = (scene.mat_diffuse, scene.mat_specular, scene.emission, env0)
-    grads = {}
-    for sweep in ("scalar", "mxu"):
-        cfg = wf.KernelConfig(max_depth=2, rows=8, sweep=sweep)
-        dtr = bs.make_bigscene_diff_tracer(scene, cfg, interpret=True)
-
-        def loss(diffuse, specular, emission, env):
-            return jnp.mean(dtr(diffuse, specular, emission, env, o, d,
-                                seed))
-
-        grads[sweep] = jax.grad(loss, argnums=(0, 1, 2, 3))(*p0)
     for gm, gs in zip(grads["mxu"], grads["scalar"]):
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gs),
                                    rtol=1e-4, atol=1e-6)

@@ -74,7 +74,7 @@ def test_sharded_pallas_render(scene):
 
     mesh = make_mesh(shape=(4, 2))
     img = np.asarray(render_sharded_pallas(
-        scene, mesh, spp=2, seed=9, kernel_cfg=KernelConfig(max_depth=2, rows=8),
+        scene, mesh, spp=2, seed=9, kernel_cfg=KernelConfig(max_depth=1, rows=8),
         interpret=True))
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
@@ -113,7 +113,7 @@ def test_sharded_pallas_default_mesh_invariant(scene):
     from kytpu.dist import render_sharded_pallas
     from kytpu.kernels import wavefront as wf
 
-    cfg = wf.KernelConfig(max_depth=2, rows=8)   # default sampler
+    cfg = wf.KernelConfig(max_depth=1, rows=8)   # default sampler
     imgs = []
     for shape in ((4, 2), (2, 4)):
         mesh = make_mesh(shape=shape)
@@ -122,7 +122,7 @@ def test_sharded_pallas_default_mesh_invariant(scene):
     np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-6)
     single = np.asarray(wf.render_pallas(
         scene, spp=4, seed=9,
-        cfg=wf.KernelConfig(max_depth=2, rows=8, sampler="hash"),
+        cfg=wf.KernelConfig(max_depth=1, rows=8, sampler="hash"),
         interpret=True))
     np.testing.assert_allclose(imgs[0], single, atol=2e-5)
 
@@ -164,7 +164,7 @@ def test_sharded_pallas_train_step(scene):
     target = jax.lax.stop_gradient(render_once(scene, key, spp=2, cfg=CFG))
     wrong = set_params(scene, {
         "mat_diffuse": get_params(scene)["mat_diffuse"] * 0.4})
-    cfg = PathConfig(max_depth=2)
+    cfg = PathConfig(max_depth=1)
 
     mesh = make_mesh(shape=(4, 2))
     step_s, params_s, opt_s = make_train_step(

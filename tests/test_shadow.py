@@ -125,15 +125,15 @@ class TestKernels:
     def test_wavefront_kernel_robust_matches_jnp(self, scene):
         from kytpu.kernels import wavefront as wf
         o, d = _ground_rays(scene, 4096)
-        cfg = wf.KernelConfig(max_depth=2, shadow="robust")
+        cfg = wf.KernelConfig(max_depth=1, shadow="robust")
         tracer = wf.make_pallas_tracer(scene, cfg, interpret=True)
         out_k = np.asarray(tracer(scene, o, d, jnp.int32(11)))
         m_jnp = _li_mean(scene, o, d,
-                         kfast.FastConfig(max_depth=2, shadow="robust"),
+                         kfast.FastConfig(max_depth=1, shadow="robust"),
                          mode="fast")
         np.testing.assert_allclose(out_k.mean(), m_jnp, rtol=0.08)
         # and the kernel's parity mode keeps the quirk
-        tracer_p = wf.make_pallas_tracer(scene, wf.KernelConfig(max_depth=2),
+        tracer_p = wf.make_pallas_tracer(scene, wf.KernelConfig(max_depth=1),
                                          interpret=True)
         out_p = np.asarray(tracer_p(scene, o, d, jnp.int32(11)))
         assert out_p.mean() < 0.3 * out_k.mean()
@@ -150,12 +150,12 @@ class TestKernels:
         py = (pid // w).astype(jnp.float32) + u[:, 1]
         o, d = kscene.generate_rays(scene.camera,
                                     jnp.stack([px, py], -1))
-        cfg = wf.KernelConfig(max_depth=2, shadow="robust")
+        cfg = wf.KernelConfig(max_depth=1, shadow="robust")
         tr = bs.make_bigscene_tracer(scene, cfg, interpret=True,
                                      _hash_rng=True)
         out = np.asarray(tr(scene, o, d, jnp.int32(5)))
         m_jnp = _li_mean(scene, o, d,
-                         kfast.FastConfig(max_depth=2, shadow="robust"),
+                         kfast.FastConfig(max_depth=1, shadow="robust"),
                          mode="fast")
         assert np.isfinite(out).all()
         np.testing.assert_allclose(out.mean(), m_jnp, rtol=0.1)
