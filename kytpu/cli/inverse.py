@@ -141,11 +141,17 @@ def main(argv=None):
         from kytpu.dist import make_mesh
         mesh = make_mesh(shape=args.mesh)
 
+    # only optimize what was perturbed: without --recover-emission the
+    # emission tables start at the truth, and training them anyway lets
+    # MC noise walk them away from it (visible at small --steps)
+    names = (("mat_diffuse", "mat_specular", "emission")
+             if args.recover_emission else ("mat_diffuse", "mat_specular"))
+
     import optax
     if args.emission_space == "log":
         # log-space emission: multiplicative steps, one shared lr suffices
         optimizer = optax.adam(args.lr)
-        param_spaces = {"emission": "log"}
+        param_spaces = {"emission": "log"} if args.recover_emission else None
     else:
         # linear space needs a proportionally larger emission lr: adam
         # steps are unit-scaled per parameter and a shared lr could never
@@ -154,12 +160,12 @@ def main(argv=None):
         optimizer = optax.multi_transform(
             {"color": optax.adam(args.lr),
              "emission": optax.adam(args.lr * emission_scale)},
-            {"mat_diffuse": "color", "mat_specular": "color",
-             "emission": "emission"})
+            {n: ("emission" if n == "emission" else "color")
+             for n in names})
         param_spaces = None
     step, params, opt_state = make_train_step(
         scene_w, target, spp=args.spp, cfg=cfg, mesh=mesh,
-        optimizer=optimizer, param_spaces=param_spaces)
+        optimizer=optimizer, param_spaces=param_spaces, names=names)
 
     rays_per_step = args.size**2 * args.spp
     for i in range(args.steps):
@@ -171,7 +177,9 @@ def main(argv=None):
         if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
             save_checkpoint(args.checkpoint, (params, opt_state), step=i + 1)
 
-    for name in ("mat_diffuse", "emission"):
+    report = ("mat_diffuse", "emission") if args.recover_emission \
+        else ("mat_diffuse",)
+    for name in report:
         err0 = float(jnp.abs(wrong[name] - true[name]).mean())
         err1 = float(jnp.abs(params[name] - true[name]).mean())
         print(f"{name}: mean abs error {err0:.4f} -> {err1:.4f}")
